@@ -1,0 +1,140 @@
+"""Light types and the SoA light table.
+
+Equivalent of ``pathtracer/scene/lights.cuh`` (Light struct with type,
+position, direction, color, intensity, range, cone angles, radius) plus the
+Area type of the unified layer (``PTRTtransfer.cuh:134-240``; the reference
+degrades Area to Point in both backends — we keep the factory surface and the
+same degraded sampling for image parity, see SURVEY.md "defects").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from enum import IntEnum
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptrt_tpu.core.vec import Vec3
+
+Color = Tuple[float, float, float]
+
+
+class LightType(IntEnum):
+    POINT = 0
+    DIRECTIONAL = 1
+    SPOT = 2
+    AREA = 3  # unified-layer type; sampled as point (PTRTtransfer.cuh:1833)
+
+
+@dataclass
+class Light:
+    """Host light record (defaults ``lights.cuh:29-53``)."""
+
+    type: LightType = LightType.POINT
+    position: Color = (0.0, 10.0, 0.0)
+    direction: Color = (0.0, -1.0, 0.0)
+    color: Color = (1.0, 1.0, 1.0)
+    intensity: float = 1.0
+    range: float = 100.0
+    inner_cone: float = 0.5
+    outer_cone: float = 0.7
+    radius: float = 0.0  # >0 -> soft shadows via cone sampling
+
+    @staticmethod
+    def point(position, color=(1.0, 1.0, 1.0), intensity=1.0, range=100.0,
+              radius=0.0) -> "Light":
+        return Light(LightType.POINT, tuple(position), (0, -1, 0), tuple(color),
+                     intensity, range, radius=radius)
+
+    @staticmethod
+    def directional(direction, color=(1.0, 1.0, 1.0), intensity=1.0) -> "Light":
+        d = np.asarray(direction, np.float64)
+        d = d / max(np.linalg.norm(d), 1e-12)
+        return Light(LightType.DIRECTIONAL, (0, 0, 0), tuple(d), tuple(color),
+                     intensity)
+
+    @staticmethod
+    def spot(position, direction, color=(1.0, 1.0, 1.0), intensity=1.0,
+             range=100.0, inner_cone_deg=20.0, outer_cone_deg=30.0,
+             radius=0.0) -> "Light":
+        """Cone angles in degrees, stored as cosines
+        (``scene.cuh:1523-1545`` addSpotLight)."""
+        d = np.asarray(direction, np.float64)
+        d = d / max(np.linalg.norm(d), 1e-12)
+        return Light(
+            LightType.SPOT, tuple(position), tuple(d), tuple(color), intensity,
+            range,
+            inner_cone=float(np.cos(np.radians(inner_cone_deg))),
+            outer_cone=float(np.cos(np.radians(outer_cone_deg))),
+            radius=radius,
+        )
+
+    @staticmethod
+    def area(position, direction, width=1.0, height=1.0, color=(1.0, 1.0, 1.0),
+             intensity=1.0, range=100.0) -> "Light":
+        """Area light factory (``PTRTtransfer.cuh:147-211``); both reference
+        backends sample it as a point light with a soft radius."""
+        radius = 0.5 * float(np.sqrt(width * height))
+        lt = Light.point(position, color, intensity, range, radius=radius)
+        return dataclasses.replace(lt, type=LightType.AREA,
+                                   direction=tuple(direction))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class LightTable:
+    """SoA device light buffers, one lane per light."""
+
+    type: jnp.ndarray  # int32
+    position: Vec3
+    direction: Vec3
+    color: Vec3
+    intensity: jnp.ndarray
+    range: jnp.ndarray
+    inner_cone: jnp.ndarray
+    outer_cone: jnp.ndarray
+    radius: jnp.ndarray
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f.name) for f in dataclasses.fields(self)), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def count(self) -> int:
+        return int(self.type.shape[0])
+
+    @staticmethod
+    def from_lights(lights: list[Light]) -> "LightTable":
+        if not lights:
+            # one dummy lane so shapes stay static; count tracked separately
+            lights = [Light(intensity=0.0, color=(0, 0, 0))]
+
+        def v3(name):
+            a = np.array([getattr(l, name) for l in lights], np.float32)
+            return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+        def f(name):
+            return jnp.asarray(np.array([getattr(l, name) for l in lights], np.float32))
+
+        # AREA is sampled as POINT (reference behavior)
+        types = np.array(
+            [int(LightType.POINT if l.type == LightType.AREA else l.type)
+             for l in lights], np.int32)
+        return LightTable(
+            type=jnp.asarray(types),
+            position=v3("position"),
+            direction=v3("direction"),
+            color=v3("color"),
+            intensity=f("intensity"),
+            range=f("range"),
+            inner_cone=f("inner_cone"),
+            outer_cone=f("outer_cone"),
+            radius=f("radius"),
+        )

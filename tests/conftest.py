@@ -1,0 +1,33 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+The same JAX code that runs on TPU runs on the ``cpu`` platform — this is the
+"fake backend" of SURVEY.md §4: no TPU needed for CI, and multi-chip sharding
+is exercised with ``xla_force_host_platform_device_count=8``.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ptrt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+@pytest.fixture
+def rtol():
+    return 1e-5
+
+
+@pytest.fixture
+def np_rng():
+    return np.random.default_rng(0)
