@@ -79,6 +79,20 @@ def linear_to_srgb_fast(c: Vec3) -> Vec3:
     )
 
 
+def srgb_oetf(c: Vec3) -> Vec3:
+    """Exact sRGB transfer function used by the reference's tonemap kernel
+    (``scene.cuh:2029-2039``): 12.92x below 0.0031308, else
+    1.055 x^(1/2.4) - 0.055."""
+
+    def chan(v):
+        v = jnp.maximum(v, 0.0)
+        return jnp.where(
+            v <= 0.0031308, 12.92 * v,
+            1.055 * jnp.power(v, 1.0 / 2.4) - 0.055)
+
+    return Vec3(chan(c.x), chan(c.y), chan(c.z))
+
+
 def to_rgb8(c: Vec3) -> jnp.ndarray:
     """Quantize a tonemapped [0,1] Vec3 image to HxWx3 uint8."""
     arr = jnp.stack(

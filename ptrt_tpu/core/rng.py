@@ -132,6 +132,39 @@ def importance_sample_ggx(state, n: Vec3, roughness):
     return state, hemisphere_to_world(h, n)
 
 
+# -- explicit-uniform variants ----------------------------------------------
+# The branchless scatter kernel draws one (u1, u2) pair and feeds it to the
+# per-lane-selected lobe sampler; these take the uniforms directly so RNG
+# consumption stays uniform across lanes.
+
+
+def cosine_hemisphere_from(u1, u2) -> Vec3:
+    r = jnp.sqrt(u1)
+    phi = TWO_PI * u2
+    return Vec3(r * jnp.cos(phi), r * jnp.sin(phi),
+                jnp.sqrt(jnp.maximum(0.0, 1.0 - u1)))
+
+
+def ggx_half_vector_from(u1, u2, n: Vec3, roughness) -> Vec3:
+    a = roughness * roughness
+    a2 = a * a
+    u2c = jnp.minimum(u2, 0.9999999)
+    phi = TWO_PI * u1
+    cos_theta = jnp.sqrt((1.0 - u2c) / (1.0 + (a2 - 1.0) * u2c))
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    h = Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+    return hemisphere_to_world(h, n)
+
+
+def cone_direction_from(u1, u2, cone_dir: Vec3, cos_theta_max) -> Vec3:
+    cos_theta = 1.0 - u1 * (1.0 - cos_theta_max)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = TWO_PI * u2
+    local = Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+    t, b = ortho_normal_basis(cone_dir)
+    return t * local.x + b * local.y + cone_dir * local.z
+
+
 def sample_unit_disk(state):
     """Polar-mapped unit-disk sample for depth of field.
 

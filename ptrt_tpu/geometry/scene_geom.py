@@ -1,0 +1,120 @@
+"""Device scene geometry: packed world-space triangle SoA + flat BVH.
+
+This is the TPU analog of the reference's uploaded BVH + TLAS
+(``scene.cuh:458-594`` buildAndUploadTLAS, ``mesh.cuh:499-516`` uploadBVH).
+Instead of a two-level TLAS->BLAS stack walk per CUDA thread
+(``intersection.cuh:526-605``), all meshes' triangles are transformed to
+world space on host (cheap — and on device it's one batched matmul when
+dynamic), concatenated, and covered by ONE flat skip-pointer BVH.  Instance
+identity survives as a per-triangle ``mesh_id`` lane used for materials and
+G-buffer object ids.
+
+Triangles are stored Möller–Trumbore-ready: v0 + edges e1, e2
+(``common/triangle.cuh:9-91`` precomputed-edge layout), SoA per component.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptrt_tpu.core.vec import Vec3
+from ptrt_tpu.geometry.bvh import LEAF_SIZE, build_bvh, reorder_padded
+from ptrt_tpu.geometry.mesh import Mesh
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SceneGeometry:
+    """Device buffers for one assembled scene."""
+
+    # triangles, leaf-block order, padded (length M)
+    v0: Vec3
+    e1: Vec3
+    e2: Vec3
+    tri_mesh_id: jnp.ndarray  # int32, -1 for padding
+    tri_shadow_opaque: jnp.ndarray  # bool: occludes shadow rays
+    # flat BVH nodes (length N)
+    bmin: Vec3
+    bmax: Vec3
+    leaf_first: jnp.ndarray  # int32, -1 interior
+    skip: jnp.ndarray  # int32, == num_nodes terminates
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f.name) for f in dataclasses.fields(self)), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.skip.shape[0])
+
+    @property
+    def num_tri_slots(self) -> int:
+        return int(self.tri_mesh_id.shape[0])
+
+
+def assemble_geometry(meshes: list[Mesh],
+                      material_transmission: list[float] | None = None,
+                      leaf_size: int = LEAF_SIZE) -> SceneGeometry:
+    """Build world-space packed geometry + BVH from host meshes.
+
+    ``material_transmission[i]`` is the transmission of mesh i's material;
+    occluders with transmission > 0.5 are skipped by shadow rays, matching
+    ``intersection.cuh:481-524``.
+    """
+    v0s, v1s, v2s, mids = [], [], [], []
+    for i, m in enumerate(meshes):
+        a, b, c = m.triangle_arrays(world=True)
+        v0s.append(a)
+        v1s.append(b)
+        v2s.append(c)
+        mids.append(np.full(a.shape[0], i, np.int32))
+    if v0s:
+        v0 = np.concatenate(v0s)
+        v1 = np.concatenate(v1s)
+        v2 = np.concatenate(v2s)
+        mid = np.concatenate(mids)
+    else:
+        v0 = v1 = v2 = np.zeros((0, 3), np.float32)
+        mid = np.zeros((0,), np.int32)
+
+    bvh = build_bvh(v0, v1, v2, leaf_size)
+
+    pv0 = reorder_padded(v0, bvh.order)
+    pv1 = reorder_padded(v1, bvh.order)
+    pv2 = reorder_padded(v2, bvh.order)
+    pmid = reorder_padded(mid, bvh.order, fill=-1)
+
+    if material_transmission is None or len(material_transmission) == 0:
+        opaque = pmid >= 0
+    else:
+        trans = np.asarray(material_transmission, np.float32)
+        opaque = np.where(
+            pmid >= 0, trans[np.maximum(pmid, 0)] <= 0.5, False
+        )
+
+    e1 = pv1 - pv0
+    e2 = pv2 - pv0
+
+    def dvec(a: np.ndarray) -> Vec3:
+        return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
+                    jnp.asarray(a[:, 2]))
+
+    return SceneGeometry(
+        v0=dvec(pv0),
+        e1=dvec(e1),
+        e2=dvec(e2),
+        tri_mesh_id=jnp.asarray(pmid.astype(np.int32)),
+        tri_shadow_opaque=jnp.asarray(opaque),
+        bmin=dvec(bvh.bmin),
+        bmax=dvec(bvh.bmax),
+        leaf_first=jnp.asarray(bvh.leaf_first),
+        skip=jnp.asarray(bvh.skip),
+    )

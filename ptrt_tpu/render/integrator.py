@@ -1,0 +1,228 @@
+"""Wavefront path integrator.
+
+TPU-native rebuild of ``tracePath`` / ``tracePathSplit``
+(``path_logic.cuh:782-1042``): the per-thread bounce loop becomes a
+``lax.while_loop`` over the whole ray wavefront — every bounce phase
+(intersect, interior absorption, emission, NEE + MIS, scatter, Russian
+roulette) is one fused vector step over all lanes, with terminated lanes
+masked.  This is the wavefront formulation SURVEY.md §7 calls for; control
+flow is uniform, so no per-lane divergence exists by construction.
+
+Matches the reference's radiometry: Beer–Lambert interior absorption with
+``-log(albedo)`` (``:823-829``), emission only on bounce-0/after-specular
+(``:831-836``), one-sample NEE with power-2 MIS (``:840-857``), RR from
+bounce 2 with p in [0.05, 0.95] (``:871-880``), throughput soft clamp 50,
+NEE clamp 500, final clamp 100 (``:24-29``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ptrt_tpu.core import rng as prng
+from ptrt_tpu.core.vec import Vec3, clamp_vector_soft, where
+from ptrt_tpu.render import traverse
+from ptrt_tpu.render.bsdf import material_pdf, material_scatter, mis_weight
+from ptrt_tpu.render.nee import sample_direct_lighting
+from ptrt_tpu.render.pbr import beer_lambert
+from ptrt_tpu.render.ray import RayBatch
+from ptrt_tpu.render.sky import SkyConfig, sample_sky
+
+RUSSIAN_ROULETTE_START_BOUNCE = 2  # path_logic.cuh:24
+RUSSIAN_ROULETTE_MIN_PROB = 0.05
+MAX_BOUNCE_WEIGHT = 50.0
+MAX_FINAL_RADIANCE = 100.0
+
+
+class PathOutput(NamedTuple):
+    radiance: Vec3  # combined (non-split) radiance
+    diffuse: Vec3  # split channels (valid when split=True)
+    specular: Vec3
+    emission: Vec3
+    first_normal: Vec3
+    first_depth: jnp.ndarray
+    first_object_id: jnp.ndarray
+    first_roughness: jnp.ndarray
+    first_transmission: jnp.ndarray
+
+
+def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
+               ray: RayBatch, state, max_depth: int, split: bool = False,
+               use_brute: bool = False) -> tuple:
+    """Trace the wavefront to completion. Returns (rng_state, PathOutput)."""
+    if use_brute:
+        closest = lambda o, d: traverse.intersect_closest_brute(geom, o, d)
+        any_hit = lambda o, d, t: traverse.intersect_any_brute(geom, o, d, t)
+    else:
+        closest = lambda o, d: traverse.intersect_closest(geom, o, d)
+        any_hit = lambda o, d, t: traverse.intersect_any(geom, o, d, t)
+
+    shape = jnp.shape(ray.direction.x)
+    zero3 = Vec3.zeros(shape)
+    f32 = lambda v: jnp.full(shape, v, jnp.float32)
+
+    init = dict(
+        bounce=jnp.int32(0),
+        state=state,
+        o=ray.origin.broadcast_to(shape),
+        d=ray.direction.broadcast_to(shape),
+        ray_spec=jnp.broadcast_to(ray.spec, shape),
+        throughput=Vec3.ones(shape),
+        alive=jnp.ones(shape, bool),
+        accum=zero3,
+        acc_diff=zero3,
+        acc_spec=zero3,
+        acc_emis=zero3,
+        prev_was_specular=jnp.ones(shape, bool),
+        path_still_specular=jnp.ones(shape, bool),
+        first_normal=zero3,
+        first_depth=f32(1e30),
+        first_object_id=jnp.full(shape, -1, jnp.int32),
+        first_roughness=f32(1.0),
+        first_transmission=f32(0.0),
+    )
+
+    def cond(s):
+        return (s["bounce"] < max_depth) & jnp.any(s["alive"])
+
+    def body(s):
+        bounce = s["bounce"]
+        alive = s["alive"]
+        o, d = s["o"], s["d"]
+        throughput = s["throughput"]
+        rng_state = s["state"]
+
+        hit = closest(o, d)
+        live_hit = alive & hit.hit
+
+        # -- bounce-0 G-buffer export (path_logic.cuh:798-808) --------------
+        is_first = bounce == 0
+        s["first_normal"] = where(is_first & hit.hit, hit.normal,
+                                  where(is_first, zero3, s["first_normal"]))
+        s["first_depth"] = jnp.where(is_first,
+                                     jnp.where(hit.hit, hit.t, 1e30),
+                                     s["first_depth"])
+        s["first_object_id"] = jnp.where(
+            is_first, jnp.where(hit.hit, hit.mesh_index, -1),
+            s["first_object_id"])
+
+        mat = materials.gather(jnp.maximum(hit.mesh_index, 0))
+        s["first_roughness"] = jnp.where(
+            is_first, jnp.where(hit.hit, mat.roughness, 1.0),
+            s["first_roughness"])
+        s["first_transmission"] = jnp.where(
+            is_first, jnp.where(hit.hit, mat.transmission, 0.0),
+            s["first_transmission"])
+
+        # -- sky on miss (path_logic.cuh:810-815) ---------------------------
+        miss = alive & jnp.logical_not(hit.hit)
+        sky_c = sample_sky(d, sky) * throughput
+        s["accum"] = s["accum"] + where(miss, sky_c, zero3)
+        sky_spec = s["path_still_specular"]
+        s["acc_spec"] = s["acc_spec"] + where(miss & sky_spec, sky_c, zero3)
+        s["acc_diff"] = s["acc_diff"] + where(
+            miss & jnp.logical_not(sky_spec), sky_c, zero3)
+        alive = alive & hit.hit
+
+        # -- interior Beer–Lambert absorption (path_logic.cuh:823-829) ------
+        t_unit = Vec3(jnp.maximum(mat.albedo.x, 1e-6),
+                      jnp.maximum(mat.albedo.y, 1e-6),
+                      jnp.maximum(mat.albedo.z, 1e-6))
+        # absorption coefficient = -log(T) (path_logic.cuh:825-827)
+        absorb = beer_lambert(Vec3(-jnp.log(t_unit.x), -jnp.log(t_unit.y),
+                                   -jnp.log(t_unit.z)), hit.t)
+        inside = alive & jnp.logical_not(hit.front_face)
+        throughput = where(inside, throughput * absorb, throughput)
+
+        # -- emission (path_logic.cuh:831-836) ------------------------------
+        emissive = (mat.emission.x > 0.0) | (mat.emission.y > 0.0) | (
+            mat.emission.z > 0.0)
+        emit_on = alive & emissive & (is_first | s["prev_was_specular"])
+        contrib_e = throughput * mat.emission
+        s["accum"] = s["accum"] + where(emit_on, contrib_e, zero3)
+        # split routing (path_logic.cuh:965-980)
+        s["acc_emis"] = s["acc_emis"] + where(emit_on & is_first, contrib_e,
+                                              zero3)
+        route_spec = emit_on & jnp.logical_not(is_first) & s["path_still_specular"]
+        route_diff = emit_on & jnp.logical_not(is_first) & jnp.logical_not(
+            s["path_still_specular"])
+        s["acc_spec"] = s["acc_spec"] + where(route_spec, contrib_e, zero3)
+        s["acc_diff"] = s["acc_diff"] + where(route_diff, contrib_e, zero3)
+
+        # -- NEE with MIS (path_logic.cuh:840-857) --------------------------
+        if n_lights > 0:
+            do_nee = alive & jnp.logical_not(s["ray_spec"])
+            if split:
+                rng_state, l_nee, pdf_nee, (nee_d, nee_s) = (
+                    sample_direct_lighting(
+                        rng_state, hit.point, hit.normal, hit.front_face, mat,
+                        d, lights, n_lights, any_hit, split=True))
+            else:
+                rng_state, l_nee, pdf_nee, nee_c = sample_direct_lighting(
+                    rng_state, hit.point, hit.normal, hit.front_face, mat,
+                    d, lights, n_lights, any_hit, split=False)
+            pdf_brdf = material_pdf(hit.normal, hit.front_face, mat, -d, l_nee)
+            w = mis_weight(pdf_nee, pdf_brdf)
+            gate = do_nee & (pdf_nee > 0.0)
+            if split:
+                s["acc_diff"] = s["acc_diff"] + where(
+                    gate, throughput * nee_d * w, zero3)
+                s["acc_spec"] = s["acc_spec"] + where(
+                    gate, throughput * nee_s * w, zero3)
+                s["accum"] = s["accum"] + where(
+                    gate, throughput * (nee_d + nee_s) * w, zero3)
+            else:
+                s["accum"] = s["accum"] + where(
+                    gate, throughput * nee_c * w, zero3)
+
+        # -- scatter (path_logic.cuh:859-869) -------------------------------
+        rng_state, sc = material_scatter(rng_state, hit.normal, hit.front_face,
+                                         mat, d)
+        alive = alive & sc.valid
+        s["prev_was_specular"] = jnp.where(alive, sc.is_specular,
+                                           s["prev_was_specular"])
+        s["path_still_specular"] = s["path_still_specular"] & jnp.where(
+            alive, sc.is_specular, True)
+
+        # -- Russian roulette (path_logic.cuh:871-880) ----------------------
+        rng_state, u_rr = prng.uniform(rng_state)
+        p = jnp.clip(throughput.max_component(), RUSSIAN_ROULETTE_MIN_PROB,
+                     0.95)
+        rr_on = bounce >= RUSSIAN_ROULETTE_START_BOUNCE
+        killed = rr_on & (u_rr > p)
+        alive = alive & jnp.logical_not(killed)
+        throughput = where(rr_on & alive, throughput / p, throughput)
+
+        # -- advance ray ----------------------------------------------------
+        throughput = throughput * sc.attenuation
+        throughput = clamp_vector_soft(throughput, MAX_BOUNCE_WEIGHT)
+        offset = where(sc.direction.dot(hit.normal) > 0.0, hit.normal * 1e-4,
+                       hit.normal * -1e-4)
+        new_o = hit.point + offset
+
+        s["o"] = where(alive, new_o, o)
+        s["d"] = where(alive, sc.direction, d)
+        s["ray_spec"] = jnp.where(alive, sc.is_specular, s["ray_spec"])
+        s["throughput"] = throughput
+        s["alive"] = alive
+        s["state"] = rng_state
+        s["bounce"] = bounce + 1
+        return s
+
+    out = jax.lax.while_loop(cond, body, init)
+
+    radiance = clamp_vector_soft(out["accum"], MAX_FINAL_RADIANCE)
+    return out["state"], PathOutput(
+        radiance=radiance,
+        diffuse=out["acc_diff"],
+        specular=out["acc_spec"],
+        emission=out["acc_emis"],
+        first_normal=out["first_normal"],
+        first_depth=out["first_depth"],
+        first_object_id=out["first_object_id"],
+        first_roughness=out["first_roughness"],
+        first_transmission=out["first_transmission"],
+    )

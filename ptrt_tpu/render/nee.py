@@ -1,0 +1,114 @@
+"""Next-event estimation: direct-light sampling with shadow rays.
+
+Vectorized ``sample_direct_lighting_with_mat`` / ``_split``
+(``path_logic.cuh:305-488``): uniform light pick, cone sampling of spherical
+(radius > 0) lights for soft shadows, range attenuation
+``(range/(range+d))^2`` (``render_utils.cuh:21-24``), smooth spot cones, and
+the transmissive-aware shadow any-hit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ptrt_tpu.core import rng as prng
+from ptrt_tpu.core.vec import TWO_PI, Vec3, clamp_vector_soft, where
+from ptrt_tpu.render.bsdf import evaluate_bsdf, evaluate_bsdf_split
+from ptrt_tpu.scene.lights import LightTable, LightType
+
+MAX_NEE_CONTRIBUTION = 500.0  # path_logic.cuh:28
+
+
+def _take3(v: Vec3, idx):
+    return Vec3(jnp.take(v.x, idx, axis=0), jnp.take(v.y, idx, axis=0),
+                jnp.take(v.z, idx, axis=0))
+
+
+def sample_light(state, lights: LightTable, n_lights: int, point: Vec3):
+    """Pick one light uniformly and sample a direction to it.
+
+    Returns (state, L, pdf_sample, radiance, attenuation, light_dist).
+    """
+    state, r = prng.uniform(state)
+    r = jnp.minimum(r, 0.99999994)
+    li = (r * n_lights).astype(jnp.int32)
+
+    ltype = jnp.take(lights.type, li, axis=0)
+    lpos = _take3(lights.position, li)
+    ldir = _take3(lights.direction, li)
+    lcol = _take3(lights.color, li)
+    lint = jnp.take(lights.intensity, li, axis=0)
+    lrange = jnp.take(lights.range, li, axis=0)
+    linner = jnp.take(lights.inner_cone, li, axis=0)
+    louter = jnp.take(lights.outer_cone, li, axis=0)
+    lradius = jnp.take(lights.radius, li, axis=0)
+
+    pdf_pick = 1.0 / float(n_lights)
+    radiance = lcol * lint
+
+    to_light = lpos - point
+    dist_sq = jnp.maximum(to_light.length_squared(), 1e-12)
+    dist = jnp.sqrt(dist_sq)
+    l_point = to_light * (1.0 / dist)
+
+    # soft-shadow cone sample for radius > 0 (path_logic.cuh:341-356)
+    sin2 = jnp.minimum(lradius * lradius / dist_sq, 0.9999)
+    cos_max = jnp.sqrt(1.0 - sin2)
+    state, l_cone = prng.sample_cone_direction(state, l_point, cos_max)
+    solid_angle = TWO_PI * (1.0 - cos_max)
+    pdf_cone = jnp.where(solid_angle > 1e-6, pdf_pick / solid_angle, pdf_pick)
+
+    soft = lradius > 0.0
+    l_local = where(soft, l_cone, l_point)
+    pdf_local = jnp.where(soft, pdf_cone, pdf_pick)
+
+    att = lrange / (lrange + dist)
+    att = att * att
+
+    # spot falloff (path_logic.cuh:360-371)
+    theta = l_local.dot(-ldir)
+    eps_cone = linner - louter
+    spot_smooth = jnp.clip((theta - louter) / jnp.where(
+        jnp.abs(eps_cone) < 1e-12, 1.0, eps_cone), 0.0, 1.0)
+    spot_hard = jnp.where(theta >= louter, 1.0, 0.0)
+    spot = jnp.where(eps_cone <= 1e-6, spot_hard, spot_smooth)
+    att = att * jnp.where(ltype == int(LightType.SPOT), spot, 1.0)
+
+    is_dir = ltype == int(LightType.DIRECTIONAL)
+    l_out = where(is_dir, -ldir, l_local)
+    pdf_out = jnp.where(is_dir, pdf_pick, pdf_local)
+    att_out = jnp.where(is_dir, 1.0, att)
+    dist_out = jnp.where(is_dir, 1e30, dist)
+    return state, l_out, pdf_out, radiance, att_out, dist_out
+
+
+def sample_direct_lighting(state, point: Vec3, normal: Vec3, front_face, mat,
+                           ray_dir: Vec3, lights: LightTable, n_lights: int,
+                           any_hit_fn, split: bool = False):
+    """One-sample NEE estimate (``path_logic.cuh:305-393`` / ``:395-488``).
+
+    ``any_hit_fn(origin, direction, t_max) -> bool`` is the shadow traversal.
+    Returns (state, L, pdf, contribution) with contribution a Vec3 (or a
+    (diffuse, specular) pair when ``split``).
+    """
+    v = -ray_dir
+    state, l, pdf_sample, radiance, att, dist = sample_light(
+        state, lights, n_lights, point)
+
+    offset = where(normal.dot(l) > 0.0, normal * 1e-4, normal * -1e-4)
+    shadow_o = point + offset
+    in_shadow = any_hit_fn(shadow_o, l, dist - 1e-3)
+
+    lit = jnp.logical_not(in_shadow) & (pdf_sample > 0.0)
+    scale = att / jnp.maximum(pdf_sample, 1e-12)
+
+    if split:
+        bd, bs = evaluate_bsdf_split(normal, front_face, mat, l, v)
+        out_d = clamp_vector_soft(bd * radiance * scale, MAX_NEE_CONTRIBUTION)
+        out_s = clamp_vector_soft(bs * radiance * scale, MAX_NEE_CONTRIBUTION)
+        zero = Vec3.full(0.0)
+        return state, l, pdf_sample, (where(lit, out_d, zero),
+                                      where(lit, out_s, zero))
+    bsdf = evaluate_bsdf(normal, front_face, mat, l, v)
+    out = clamp_vector_soft(bsdf * radiance * scale, MAX_NEE_CONTRIBUTION)
+    return state, l, pdf_sample, where(lit, out, Vec3.full(0.0))

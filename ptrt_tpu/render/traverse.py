@@ -1,0 +1,328 @@
+"""Lock-step BVH traversal + Möller–Trumbore intersection over ray wavefronts.
+
+TPU-native replacement for the reference's per-thread stack walks
+(``intersection.cuh:300-435`` BLAS, ``:526-605`` TLAS, ``:481-524`` any-hit):
+every ray in the batch holds a single node pointer into the skip-pointer BVH
+(geometry/bvh.py) and all rays advance together inside one
+``lax.while_loop``; interior hits descend to ``i+1``, misses and leaves jump
+to ``skip[i]``.  Leaf blocks are a fixed ``LEAF_SIZE`` triangles, so the leaf
+test is a statically unrolled K-wide MT test.
+
+A gather-free brute-force path (tiled over triangle chunks) is provided for
+small scenes — at toy scale it beats the BVH on TPU because it is pure
+elementwise VPU work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ptrt_tpu.core.vec import Vec3, cross, where
+from ptrt_tpu.geometry.bvh import LEAF_SIZE
+from ptrt_tpu.geometry.scene_geom import SceneGeometry
+
+T_MIN = 1e-4  # reference ray epsilon (intersection.cuh uses 1e-4 offsets)
+T_MAX = 1e30
+_MT_EPS = 1e-9
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class Hit:
+    """SoA ``HitInfo`` (``intersection.cuh:108-132``)."""
+
+    hit: jnp.ndarray  # bool
+    t: jnp.ndarray
+    point: Vec3
+    normal: Vec3  # face-forwarded geometric normal
+    front_face: jnp.ndarray  # bool
+    mesh_index: jnp.ndarray  # int32 (object/material id)
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f.name) for f in dataclasses.fields(self)), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _gather_vec3(v: Vec3, idx: jnp.ndarray) -> Vec3:
+    return Vec3(jnp.take(v.x, idx, axis=0), jnp.take(v.y, idx, axis=0),
+                jnp.take(v.z, idx, axis=0))
+
+
+def _mt_test(v0: Vec3, e1: Vec3, e2: Vec3, o: Vec3, d: Vec3, t_min, t_max):
+    """Möller–Trumbore with precomputed edges (``triangle.cuh:59-90``,
+    ``intersection.cuh:219-255``); two-sided (no backface cull, the path
+    tracer shades interiors)."""
+    h = cross(d, e2)
+    a = e1.dot(h)
+    valid = jnp.abs(a) > _MT_EPS
+    f = 1.0 / jnp.where(valid, a, 1.0)
+    s = o - v0
+    u = f * s.dot(h)
+    q = cross(s, e1)
+    v = f * d.dot(q)
+    t = f * e2.dot(q)
+    ok = (
+        valid
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return ok, t, u, v
+
+
+def _slab_test(bmin: Vec3, bmax: Vec3, o: Vec3, inv_d: Vec3, t_max):
+    """Robust slab AABB test (``intersection.cuh:136-216``)."""
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tlo = Vec3(jnp.minimum(t0.x, t1.x), jnp.minimum(t0.y, t1.y),
+               jnp.minimum(t0.z, t1.z))
+    thi = Vec3(jnp.maximum(t0.x, t1.x), jnp.maximum(t0.y, t1.y),
+               jnp.maximum(t0.z, t1.z))
+    t_enter = jnp.maximum(jnp.maximum(tlo.x, tlo.y), jnp.maximum(tlo.z, 0.0))
+    t_exit = jnp.minimum(jnp.minimum(thi.x, thi.y), jnp.minimum(thi.z, t_max))
+    return t_enter <= t_exit
+
+
+def _safe_inv(d: Vec3) -> Vec3:
+    """Signed-epsilon inverse direction (``RayOptimized``,
+    ``intersection.cuh:39-88``)."""
+    tiny = 1e-12
+
+    def inv(c):
+        s = jnp.where(c >= 0.0, 1.0, -1.0)
+        return 1.0 / (c + s * tiny)
+
+    return Vec3(inv(d.x), inv(d.y), inv(d.z))
+
+
+def _finalize_hit(geom: SceneGeometry, o: Vec3, d: Vec3, best_t, best_tri,
+                  best_u, best_v) -> Hit:
+    found = best_tri >= 0
+    idx = jnp.maximum(best_tri, 0)
+    e1 = _gather_vec3(geom.e1, idx)
+    e2 = _gather_vec3(geom.e2, idx)
+    n = cross(e1, e2).normalized(1e-30)
+    front = d.dot(n) < 0.0
+    n = where(front, n, -n)
+    mesh_id = jnp.where(found, jnp.take(geom.tri_mesh_id, idx, axis=0), -1)
+    point = o + d * best_t
+    return Hit(
+        hit=found, t=best_t, point=point, normal=n, front_face=front,
+        mesh_index=mesh_id, u=best_u, v=best_v,
+    )
+
+
+# -- BVH path ---------------------------------------------------------------
+
+
+def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
+                      t_max=T_MAX) -> Hit:
+    """Closest-hit over the wavefront (``traceRay``,
+    ``intersection.cuh:526-605``)."""
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x))
+    o = o.broadcast_to(shape)
+    d = d.broadcast_to(shape)
+    inv_d = _safe_inv(d)
+    n_nodes = geom.num_nodes
+
+    node0 = jnp.zeros(shape, jnp.int32)
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    tri0 = jnp.full(shape, -1, jnp.int32)
+    u0 = jnp.zeros(shape, jnp.float32)
+    v0_ = jnp.zeros(shape, jnp.float32)
+
+    def cond(state):
+        node, *_ = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, best_t, best_tri, best_u, best_v = state
+        active = node < n_nodes
+        nidx = jnp.minimum(node, n_nodes - 1)
+        bmin = _gather_vec3(geom.bmin, nidx)
+        bmax = _gather_vec3(geom.bmax, nidx)
+        leaf_first = jnp.take(geom.leaf_first, nidx, axis=0)
+        skip = jnp.take(geom.skip, nidx, axis=0)
+
+        box_hit = _slab_test(bmin, bmax, o, inv_d, best_t) & active
+        is_leaf = leaf_first >= 0
+        test_leaf = box_hit & is_leaf
+
+        for k in range(LEAF_SIZE):
+            ti = jnp.maximum(leaf_first, 0) + k
+            tv0 = _gather_vec3(geom.v0, ti)
+            te1 = _gather_vec3(geom.e1, ti)
+            te2 = _gather_vec3(geom.e2, ti)
+            ok, t, uu, vv = _mt_test(tv0, te1, te2, o, d, T_MIN, best_t)
+            ok = ok & test_leaf
+            best_tri = jnp.where(ok, ti, best_tri)
+            best_u = jnp.where(ok, uu, best_u)
+            best_v = jnp.where(ok, vv, best_v)
+            best_t = jnp.where(ok, t, best_t)
+
+        descend = box_hit & jnp.logical_not(is_leaf)
+        node = jnp.where(descend, node + 1, skip)
+        node = jnp.where(active, node, n_nodes)
+        return node, best_t, best_tri, best_u, best_v
+
+    _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
+        cond, body, (node0, t0, tri0, u0, v0_)
+    )
+    return _finalize_hit(geom, o, d, best_t, best_tri, best_u, best_v)
+
+
+def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
+                  t_max) -> jnp.ndarray:
+    """Shadow any-hit; skips transmissive occluders (transmission > 0.5),
+    matching ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``)."""
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
+                                 jnp.shape(t_max))
+    o = o.broadcast_to(shape)
+    d = d.broadcast_to(shape)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    inv_d = _safe_inv(d)
+    n_nodes = geom.num_nodes
+
+    node0 = jnp.zeros(shape, jnp.int32)
+    hit0 = jnp.zeros(shape, bool)
+
+    def cond(state):
+        node, hit = state
+        return jnp.any((node < n_nodes) & jnp.logical_not(hit))
+
+    def body(state):
+        node, hit = state
+        active = (node < n_nodes) & jnp.logical_not(hit)
+        nidx = jnp.minimum(node, n_nodes - 1)
+        bmin = _gather_vec3(geom.bmin, nidx)
+        bmax = _gather_vec3(geom.bmax, nidx)
+        leaf_first = jnp.take(geom.leaf_first, nidx, axis=0)
+        skip = jnp.take(geom.skip, nidx, axis=0)
+
+        box_hit = _slab_test(bmin, bmax, o, inv_d, t_max) & active
+        is_leaf = leaf_first >= 0
+        test_leaf = box_hit & is_leaf
+
+        for k in range(LEAF_SIZE):
+            ti = jnp.maximum(leaf_first, 0) + k
+            tv0 = _gather_vec3(geom.v0, ti)
+            te1 = _gather_vec3(geom.e1, ti)
+            te2 = _gather_vec3(geom.e2, ti)
+            ok, _, _, _ = _mt_test(tv0, te1, te2, o, d, T_MIN, t_max)
+            opaque = jnp.take(geom.tri_shadow_opaque, ti, axis=0)
+            hit = hit | (ok & test_leaf & opaque)
+
+        descend = box_hit & jnp.logical_not(is_leaf)
+        node = jnp.where(descend, node + 1, skip)
+        node = jnp.where(active, node, n_nodes)
+        return node, hit
+
+    _, hit = jax.lax.while_loop(cond, body, (node0, hit0))
+    return hit
+
+
+# -- brute-force path (small scenes; gather-free) ---------------------------
+
+
+def intersect_closest_brute(geom: SceneGeometry, o: Vec3, d: Vec3,
+                            t_max=T_MAX, chunk: int = 512) -> Hit:
+    """All-pairs MT over triangle chunks; pure elementwise VPU work.
+
+    Equivalent semantics to ``intersect_closest``; preferred when the scene
+    has few triangles (the (R, C) broadcast beats gather-heavy traversal).
+    """
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x))
+    o = o.broadcast_to(shape)
+    d = d.broadcast_to(shape)
+    m = geom.num_tri_slots
+    n_chunks = max(1, -(-m // chunk))
+    pad = n_chunks * chunk
+
+    def padc(a):
+        return jnp.pad(a, (0, pad - m))
+
+    pv0 = geom.v0.map(padc)
+    pe1 = geom.e1.map(padc)
+    pe2 = geom.e2.map(padc)
+    pmid = jnp.pad(geom.tri_mesh_id, (0, pad - m), constant_values=-1)
+
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    tri0 = jnp.full(shape, -1, jnp.int32)
+    u0 = jnp.zeros(shape, jnp.float32)
+    v0_ = jnp.zeros(shape, jnp.float32)
+
+    oe = o.map(lambda c: c[..., None])
+    de = d.map(lambda c: c[..., None])
+
+    def body(ci, state):
+        best_t, best_tri, best_u, best_v = state
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * chunk, chunk)
+        cv0 = pv0.map(sl)
+        ce1 = pe1.map(sl)
+        ce2 = pe2.map(sl)
+        cmid = sl(pmid)
+        ok, t, uu, vv = _mt_test(cv0, ce1, ce2, oe, de, T_MIN,
+                                 best_t[..., None])
+        ok = ok & (cmid >= 0)
+        t = jnp.where(ok, t, jnp.inf)
+        j = jnp.argmin(t, axis=-1)
+        tbest = jnp.take_along_axis(t, j[..., None], axis=-1)[..., 0]
+        found = jnp.isfinite(tbest)
+        tri_idx = (ci * chunk + j).astype(jnp.int32)
+        best_tri = jnp.where(found, tri_idx, best_tri)
+        best_u = jnp.where(
+            found, jnp.take_along_axis(uu, j[..., None], -1)[..., 0], best_u)
+        best_v = jnp.where(
+            found, jnp.take_along_axis(vv, j[..., None], -1)[..., 0], best_v)
+        best_t = jnp.where(found, tbest, best_t)
+        return best_t, best_tri, best_u, best_v
+
+    best_t, best_tri, best_u, best_v = jax.lax.fori_loop(
+        0, n_chunks, body, (t0, tri0, u0, v0_)
+    )
+    return _finalize_hit(geom, o, d, best_t, best_tri, best_u, best_v)
+
+
+def intersect_any_brute(geom: SceneGeometry, o: Vec3, d: Vec3, t_max,
+                        chunk: int = 512) -> jnp.ndarray:
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
+                                 jnp.shape(t_max))
+    o = o.broadcast_to(shape)
+    d = d.broadcast_to(shape)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    m = geom.num_tri_slots
+    n_chunks = max(1, -(-m // chunk))
+    pad = n_chunks * chunk
+
+    def padc(a):
+        return jnp.pad(a, (0, pad - m))
+
+    pv0 = geom.v0.map(padc)
+    pe1 = geom.e1.map(padc)
+    pe2 = geom.e2.map(padc)
+    popq = jnp.pad(geom.tri_shadow_opaque, (0, pad - m))
+
+    oe = o.map(lambda c: c[..., None])
+    de = d.map(lambda c: c[..., None])
+
+    def body(ci, hit):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * chunk, chunk)
+        ok, _, _, _ = _mt_test(pv0.map(sl), pe1.map(sl), pe2.map(sl),
+                               oe, de, T_MIN, t_max[..., None])
+        ok = ok & sl(popq)
+        return hit | jnp.any(ok, axis=-1)
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(shape, bool))

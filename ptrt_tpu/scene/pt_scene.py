@@ -1,0 +1,425 @@
+"""PT Scene — the path-tracer orchestrator.
+
+Host-side rebuild of the reference's ``Scene`` class
+(``pathtracer/scene/scene.cuh:747-2050``): owns meshes + materials + lights +
+camera + sky, performance settings with the five string presets
+(``scene.cuh:1833-1879``), dirty tracking, progressive accumulation reset,
+and the per-frame pipeline (trace -> denoise -> bloom -> upscale -> tonemap).
+
+Device state is pure pytrees; the frame program is one jitted XLA function
+cached per static configuration.  "uploadToGPU" becomes geometry assembly +
+table packing (host -> device transfer happens on first use of the arrays).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptrt_tpu.core import rng as prng
+from ptrt_tpu.core.bluenoise import blue_noise_table
+from ptrt_tpu.core.vec import Vec3
+from ptrt_tpu.geometry.mesh import Mesh
+from ptrt_tpu.geometry.scene_geom import assemble_geometry
+from ptrt_tpu.render import pipeline as pl
+from ptrt_tpu.render import traverse
+from ptrt_tpu.render.sky import SkyConfig
+from ptrt_tpu.scene.camera import Camera
+from ptrt_tpu.scene.lights import Light, LightTable
+from ptrt_tpu.scene.materials import Material, MaterialTable
+from ptrt_tpu.utils.imageio import save_ppm
+
+# below this many triangles the gather-free brute-force intersector wins
+BRUTE_FORCE_TRI_THRESHOLD = 192
+
+
+@dataclass
+class PerformanceSettings:
+    """``scene.cuh:189-200``."""
+
+    enable_denoiser: bool = True
+    enable_bloom: bool = True
+    enable_motion_vectors: bool = True
+    max_bounce_depth: int = 4
+    samples_per_pixel: int = 1
+    resolution_scale: float = 1.0
+    fast_bvh_updates: bool = True
+    enable_russian_roulette: bool = True
+    russian_roulette_start_bounce: int = 1
+
+
+class Scene:
+    def __init__(self, width: int, height: int):
+        self.width = int(width)
+        self.height = int(height)
+        self.meshes: list[Mesh] = []
+        self.mesh_materials: list[Material] = []
+        self.lights: list[Light] = []
+        self.camera = Camera.make((0.0, 0.0, 0.0), (0.0, 3.5, 5.0),
+                                  aspect_ratio=width / height)
+        self.sky_color_top = (0.5, 0.7, 1.0)
+        self.sky_color_bottom = (1.0, 1.0, 1.0)
+        self.use_sky = True
+        self.env_map = None  # (H, W, 3) numpy HDR
+        self.perf = PerformanceSettings()
+        self.frame_count = 0
+        self._geom = None
+        self._geom_dirty = True
+        self._mat_table = None
+        self._mat_dirty = True
+        self._light_table = None
+        self._light_dirty = True
+        self._rng_state = None
+        self._rng_res = None
+        self._blue_noise = blue_noise_table()
+        self._denoiser_state = None
+        self.prev_view_proj = self.camera.get_view_proj()
+
+    # -- mesh management (scene.cuh:1342-1596) ------------------------------
+    def add_mesh(self, mesh_or_path, material: Material | None = None) -> Mesh:
+        mesh = (mesh_or_path if isinstance(mesh_or_path, Mesh)
+                else Mesh(mesh_or_path))
+        self.meshes.append(mesh)
+        self.mesh_materials.append(material or Material())
+        self._mark_geom_dirty()
+        self._mat_dirty = True
+        return mesh
+
+    def add_triangles(self, tris, material: Material | None = None) -> Mesh:
+        return self.add_mesh(Mesh.from_triangles(np.asarray(tris)), material)
+
+    def add_plane_xz(self, plane_y: float, half_size: float,
+                     material: Material | None = None) -> Mesh:
+        return self.add_mesh(Mesh.plane_xz(plane_y, half_size),
+                             material or Material.make((0.8, 0.8, 0.8)))
+
+    def add_sphere(self, segments: int = 32,
+                   material: Material | None = None) -> Mesh:
+        return self.add_mesh(Mesh.sphere(segments),
+                             material or Material.make((1.0, 0.0, 0.0)))
+
+    def add_cube(self, material: Material | None = None) -> Mesh:
+        return self.add_mesh(Mesh.cube(),
+                             material or Material.make((1.0, 0.0, 0.0)))
+
+    def add_checkerboard_plane_xz(self, plane_y, tiles_per_side, tile_size,
+                                  white_mat: Material, black_mat: Material):
+        w, b = Mesh.checkerboard_plane_xz(plane_y, tiles_per_side, tile_size)
+        self.add_mesh(w, white_mat)
+        self.add_mesh(b, black_mat)
+
+    def set_material(self, mesh: Mesh, material: Material) -> None:
+        i = self.meshes.index(mesh)
+        self.mesh_materials[i] = material
+        self._mat_dirty = True
+        self.reset_accumulation()
+
+    # -- lights (scene.cuh:1503-1545) ---------------------------------------
+    def add_point_light(self, position, color=(1, 1, 1), intensity=1.0,
+                        range=100.0, radius=0.0) -> Light:
+        lt = Light.point(position, color, intensity, range, radius)
+        self.lights.append(lt)
+        self._light_dirty = True
+        self.reset_accumulation()
+        return lt
+
+    def add_directional_light(self, direction, color=(1, 1, 1),
+                              intensity=1.0) -> Light:
+        lt = Light.directional(direction, color, intensity)
+        self.lights.append(lt)
+        self._light_dirty = True
+        self.reset_accumulation()
+        return lt
+
+    def add_spot_light(self, position, direction, color=(1, 1, 1),
+                       intensity=1.0, inner_cone_deg=20.0, outer_cone_deg=30.0,
+                       range=100.0, radius=0.0) -> Light:
+        lt = Light.spot(position, direction, color, intensity, range,
+                        inner_cone_deg, outer_cone_deg, radius)
+        self.lights.append(lt)
+        self._light_dirty = True
+        self.reset_accumulation()
+        return lt
+
+    # -- camera & sky --------------------------------------------------------
+    def set_camera(self, lookfrom, lookat, vup=(0, 1, 0), fov=60.0,
+                   aperture=0.0, focus_dist=None) -> None:
+        if focus_dist is None:
+            lf = np.asarray(lookfrom, np.float64)
+            la = np.asarray(lookat, np.float64)
+            focus_dist = float(np.linalg.norm(la - lf))
+        self.camera = Camera.make(lookfrom, lookat, vup, fov,
+                                  self.width / self.height, aperture,
+                                  focus_dist)
+        self.reset_accumulation()
+
+    def set_sky_gradient(self, top, bottom) -> None:
+        self.sky_color_top = tuple(top)
+        self.sky_color_bottom = tuple(bottom)
+        self.use_sky = True
+        self.reset_accumulation()
+
+    def set_sky_enabled(self, enabled: bool) -> None:
+        self.use_sky = enabled
+        self.reset_accumulation()
+
+    def set_environment_map(self, env: np.ndarray) -> None:
+        """(H, W, 3) linear HDR equirect array (HDRI path of
+        ``scene.cuh:958-1026``; decoding lives in utils/hdr.py)."""
+        self.env_map = np.asarray(env, np.float32)
+        self.reset_accumulation()
+
+    # -- settings ------------------------------------------------------------
+    def set_performance_preset(self, preset: str) -> None:
+        """``scene.cuh:1833-1879``."""
+        p = self.perf
+        if preset == "ultra":
+            p.enable_denoiser = False
+            p.enable_bloom = True
+            p.enable_motion_vectors = True
+            p.samples_per_pixel = 128
+            p.max_bounce_depth = 32
+            p.resolution_scale = 1.0
+            p.russian_roulette_start_bounce = 8
+        elif preset == "quality":
+            p.enable_denoiser = True
+            p.enable_bloom = True
+            p.enable_motion_vectors = True
+            p.max_bounce_depth = 6
+            p.resolution_scale = 1.0
+            p.russian_roulette_start_bounce = 2
+        elif preset == "balanced":
+            p.enable_denoiser = True
+            p.enable_bloom = True
+            p.enable_motion_vectors = True
+            p.max_bounce_depth = 4
+            p.resolution_scale = 1.0
+            p.russian_roulette_start_bounce = 1
+        elif preset == "performance":
+            p.enable_denoiser = True
+            p.enable_bloom = False
+            p.enable_motion_vectors = True
+            p.max_bounce_depth = 3
+            p.resolution_scale = 0.75
+            p.russian_roulette_start_bounce = 1
+        elif preset == "fast":
+            p.enable_denoiser = False
+            p.enable_bloom = False
+            p.enable_motion_vectors = False
+            p.max_bounce_depth = 2
+            p.resolution_scale = 0.35
+            p.russian_roulette_start_bounce = 1
+
+    def set_max_bounce_depth(self, depth: int) -> None:
+        self.perf.max_bounce_depth = int(np.clip(depth, 1, 16))
+
+    def set_resolution_scale(self, scale: float) -> None:
+        self.perf.resolution_scale = float(np.clip(scale, 0.25, 1.0))
+
+    # -- dirty tracking ------------------------------------------------------
+    def _mark_geom_dirty(self) -> None:
+        self._geom_dirty = True
+        self.reset_accumulation()
+
+    def commit_object_changes(self) -> None:
+        """``commitObjectChanges`` (``scene.cuh:1784``)."""
+        self._mark_geom_dirty()
+
+    def commit_material_changes(self) -> None:
+        self._mat_dirty = True
+        self.reset_accumulation()
+
+    def commit_light_changes(self) -> None:
+        self._light_dirty = True
+        self.reset_accumulation()
+
+    def reset_accumulation(self) -> None:
+        """Progressive reset on edits (``scene.cuh:1270-1286``)."""
+        self.frame_count = 0
+        self._denoiser_state = None
+
+    # -- device state --------------------------------------------------------
+    @property
+    def render_size(self) -> tuple:
+        s = self.perf.resolution_scale
+        return (max(1, int(self.height * s)), max(1, int(self.width * s)))
+
+    def _ensure_device_state(self):
+        if self._geom_dirty or self._geom is None:
+            # verts_dirty per mesh -> full reassembly (two-level refit is a
+            # later optimization; see SURVEY.md §7 step 4)
+            self._geom = assemble_geometry(
+                self.meshes,
+                [m.transmission for m in self.mesh_materials])
+            for m in self.meshes:
+                m.verts_dirty = False
+            self._geom_dirty = False
+        if self._mat_dirty or self._mat_table is None:
+            self._mat_table = MaterialTable.from_materials(self.mesh_materials)
+            self._mat_dirty = False
+        if self._light_dirty or self._light_table is None:
+            self._light_table = LightTable.from_lights(self.lights)
+            self._light_dirty = False
+        rh, rw = self.render_size
+        if self._rng_state is None or self._rng_res != (rh, rw):
+            ys, xs = np.mgrid[0:rh, 0:rw]
+            self._rng_state = prng.seed(jnp.asarray(xs), jnp.asarray(ys), 0)
+            self._rng_res = (rh, rw)
+
+    def _sky(self) -> SkyConfig:
+        if self.env_map is not None:
+            sky = SkyConfig.hdri(self.env_map)
+            return dataclasses.replace(
+                sky, use_sky=jnp.float32(1.0 if self.use_sky else 0.0))
+        sky = SkyConfig.gradient(self.sky_color_top, self.sky_color_bottom)
+        return dataclasses.replace(
+            sky, use_sky=jnp.float32(1.0 if self.use_sky else 0.0))
+
+    def _use_brute(self) -> bool:
+        total = sum(m.num_triangles for m in self.meshes)
+        return total <= BRUTE_FORCE_TRI_THRESHOLD
+
+    # -- rendering -----------------------------------------------------------
+    def render_frame(self) -> np.ndarray:
+        """One interactive frame -> (H, W, 3) uint8 on host.
+
+        ``render_to_device`` analog (``scene.cuh:1028-1209``); the device
+        program is cached per static config by jit.
+        """
+        img = self.render_frame_device()
+        return np.asarray(jax.device_get(img))
+
+    def render_frame_device(self):
+        self._ensure_device_state()
+        rh, rw = self.render_size
+        fn = _frame_program(
+            rw, rh, self.width, self.height,
+            self.perf.samples_per_pixel, self.perf.max_bounce_depth,
+            bool(self.perf.enable_denoiser), bool(self.perf.enable_bloom),
+            len(self.lights), self._use_brute(),
+            self.env_map is not None,
+        )
+        rgb8, self._rng_state, self._denoiser_state = fn(
+            self._geom, self._mat_table, self._light_table, self._sky(),
+            self.camera, self._rng_state, jnp.int32(self.frame_count),
+            self.prev_view_proj, self._denoiser_state, self._blue_noise)
+        self.frame_count += 1
+        self.prev_view_proj = self.camera.get_view_proj()
+        return rgb8
+
+    def render(self, out_path: str | None = None) -> np.ndarray:
+        img = self.render_frame()
+        if out_path:
+            save_ppm(out_path, img)
+        return img
+
+    def render_average(self, frames: int) -> np.ndarray:
+        """Average N independent frames (ground-truth helper for golden
+        tests; the reference converges via denoiser history instead)."""
+        self._ensure_device_state()
+        rh, rw = self.render_size
+        acc = None
+        for _ in range(frames):
+            self._ensure_device_state()
+            state, bufs = _trace_only(
+                rw, rh, self.perf.samples_per_pixel,
+                self.perf.max_bounce_depth, len(self.lights),
+                self._use_brute(), self.env_map is not None)(
+                self._geom, self._mat_table, self._light_table, self._sky(),
+                self.camera, self._rng_state, jnp.int32(self.frame_count),
+                self._blue_noise)
+            self._rng_state = state
+            self.frame_count += 1
+            c = bufs.color
+            acc = c if acc is None else acc + c
+        hdr = acc * (1.0 / float(frames))
+        if (rh, rw) != (self.height, self.width):
+            hdr = pl.upscale_bilinear(hdr, self.height, self.width)
+        img = pl.tonemap_to_rgb8(hdr)
+        return np.asarray(jax.device_get(img))
+
+    def save_as_ppm(self, path: str, img: np.ndarray | None = None) -> None:
+        """``saveAsPPM`` (``scene.cuh:1694-1709``)."""
+        if img is None:
+            img = self.render_frame()
+        save_ppm(path, img)
+
+    # -- debug probe (scene.cuh:1367-1391) ----------------------------------
+    def trace_single_ray(self, origin, direction):
+        """Host-callable 1-ray query for picking/gameplay raycasts."""
+        self._ensure_device_state()
+        o = Vec3(*[jnp.asarray([float(c)]) for c in origin])
+        dn = np.asarray(direction, np.float64)
+        dn = dn / max(np.linalg.norm(dn), 1e-12)
+        d = Vec3(*[jnp.asarray([float(c)]) for c in dn])
+        if self._use_brute():
+            hit = traverse.intersect_closest_brute(self._geom, o, d)
+        else:
+            hit = traverse.intersect_closest(self._geom, o, d)
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[0], hit)
+
+
+# -- cached jitted frame programs -------------------------------------------
+
+
+_frame_cache: dict = {}
+_trace_cache: dict = {}
+
+
+def _trace_only(rw, rh, spp, depth, n_lights, use_brute, has_env):
+    key = (rw, rh, spp, depth, n_lights, use_brute, has_env)
+    if key not in _trace_cache:
+        def fn(geom, mats, lights, sky, camera, rng_state, frame_idx, bn):
+            return pl.trace_frame(geom, mats, lights, n_lights, sky, camera,
+                                  rng_state, frame_idx, rw, rh, spp, depth,
+                                  split=False, use_brute=use_brute,
+                                  blue_noise_tbl=bn)
+        _trace_cache[key] = jax.jit(fn)
+    return _trace_cache[key]
+
+
+def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
+                   n_lights, use_brute, has_env):
+    key = (rw, rh, full_w, full_h, spp, depth, denoise, bloom, n_lights,
+           use_brute, has_env)
+    if key in _frame_cache:
+        return _frame_cache[key]
+
+    from ptrt_tpu.render.denoiser import (DenoiserState, denoise_frame,
+                                          init_denoiser_state)
+    from ptrt_tpu.render.motion import motion_vectors
+    from ptrt_tpu.render.bloom import apply_bloom
+
+    def fn(geom, mats, lights, sky, camera, rng_state, frame_idx,
+           prev_view_proj, den_state, bn):
+        rng_state, bufs = pl.trace_frame(
+            geom, mats, lights, n_lights, sky, camera, rng_state, frame_idx,
+            rw, rh, spp, depth, split=denoise, use_brute=use_brute,
+            blue_noise_tbl=bn)
+
+        current = bufs.color
+        if denoise:
+            if den_state is None:
+                den_state = init_denoiser_state(rh, rw)
+            mv = motion_vectors(bufs.depth, camera, prev_view_proj, rw, rh)
+            current, den_state = denoise_frame(bufs, mv, den_state, camera,
+                                               frame_idx)
+        if bloom:
+            current = apply_bloom(current)
+        if (rh, rw) != (full_h, full_w):
+            current = pl.upscale_bilinear(current, full_h, full_w)
+        rgb8 = pl.tonemap_to_rgb8(current)
+        return rgb8, rng_state, den_state
+
+    jitted = jax.jit(fn)
+
+    def wrapper(*args):
+        return jitted(*args)
+
+    _frame_cache[key] = wrapper
+    return wrapper

@@ -1,0 +1,149 @@
+"""Geometry tests: mesh factories, OBJ parsing, BVH vs brute-force traversal."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ptrt_tpu.core.vec import Vec3, normalize
+from ptrt_tpu.geometry.bvh import build_bvh
+from ptrt_tpu.geometry.mesh import Mesh, load_obj
+from ptrt_tpu.geometry.scene_geom import assemble_geometry
+from ptrt_tpu.geometry.transform import Transform3D
+from ptrt_tpu.render.traverse import (
+    intersect_any,
+    intersect_any_brute,
+    intersect_closest,
+    intersect_closest_brute,
+)
+
+
+def _vec(a):
+    a = jnp.asarray(a, jnp.float32)
+    return Vec3(a[..., 0], a[..., 1], a[..., 2])
+
+
+class TestMesh:
+    def test_cube_default(self):
+        m = Mesh()
+        assert m.vertices.shape == (8, 3)
+        assert m.faces.shape == (12, 3)
+
+    def test_sphere(self):
+        m = Mesh.sphere(segments=8)
+        assert m.num_triangles == 2 * 8 * 8
+        r = np.linalg.norm(m.vertices, axis=1)
+        assert np.allclose(r.max(), 0.5, atol=1e-5)
+
+    def test_plane(self):
+        m = Mesh.plane_xz(1.0, 5.0)
+        assert m.num_triangles == 2
+        assert np.allclose(m.vertices[:, 1], 1.0)
+
+    def test_obj_roundtrip(self, tmp_path):
+        p = tmp_path / "tri.obj"
+        p.write_text(
+            "# comment\nv 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+            "f 1/1/1 2/2/2 3/3/3\nf -3 -1 -2\n"
+        )
+        v, f = load_obj(str(p), recenter=False)
+        assert v.shape == (4, 3)
+        assert f.shape == (2, 3)
+        assert tuple(f[1]) == (1, 3, 2)  # negative indices resolved
+
+    def test_obj_recenter(self, tmp_path):
+        p = tmp_path / "t.obj"
+        p.write_text("v 10 10 10\nv 11 10 10\nv 10 11 10\nf 1 2 3\n")
+        v, _ = load_obj(str(p), recenter=True)
+        assert np.allclose(v.mean(axis=0), 0.0, atol=1e-5)
+
+    def test_transform_bakes_world(self):
+        m = Mesh.cube()
+        m.transform = Transform3D(position=(5.0, 0.0, 0.0))
+        wv = m.world_vertices()
+        assert np.allclose(wv.mean(axis=0), [5, 0, 0], atol=1e-5)
+
+
+class TestBVH:
+    def test_build_shapes(self):
+        m = Mesh.sphere(16)
+        a, b, c = m.triangle_arrays()
+        bvh = build_bvh(a, b, c)
+        assert bvh.bmin.shape == bvh.bmax.shape
+        # every triangle appears exactly once among leaf slots
+        got = np.sort(bvh.order[bvh.order >= 0])
+        assert np.array_equal(got, np.arange(m.num_triangles))
+        # skip pointers are strictly forward
+        assert np.all(bvh.skip > np.arange(bvh.num_nodes))
+
+    def test_cube_hit(self):
+        geom = assemble_geometry([Mesh.cube()])
+        o = _vec(np.array([[0.0, 0.0, 5.0]], np.float32))
+        d = _vec(np.array([[0.0, 0.0, -1.0]], np.float32))
+        h = intersect_closest(geom, o, d)
+        assert bool(h.hit[0])
+        assert np.isclose(float(h.t[0]), 4.5, atol=1e-4)
+        assert np.isclose(float(h.normal.z[0]), 1.0, atol=1e-4)
+        assert bool(h.front_face[0])
+        assert int(h.mesh_index[0]) == 0
+
+    def test_miss(self):
+        geom = assemble_geometry([Mesh.cube()])
+        o = _vec(np.array([[0.0, 5.0, 5.0]], np.float32))
+        d = _vec(np.array([[0.0, 0.0, 1.0]], np.float32))
+        h = intersect_closest(geom, o, d)
+        assert not bool(h.hit[0])
+        assert int(h.mesh_index[0]) == -1
+
+    def test_bvh_matches_brute(self, np_rng):
+        meshes = [Mesh.sphere(12), Mesh.cube(), Mesh.plane_xz(-1.0, 3.0)]
+        meshes[1].transform = Transform3D(position=(1.5, 0.2, -0.3))
+        geom = assemble_geometry(meshes)
+        n = 256
+        o = _vec(np_rng.normal(size=(n, 3)).astype(np.float32) * 0.2
+                 + np.array([0, 0, 4], np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)
+                           - np.array([0, 0, 2], np.float32)))
+        hb = intersect_closest_brute(geom, o, d)
+        ht = intersect_closest(geom, o, d)
+        assert np.array_equal(np.asarray(hb.hit), np.asarray(ht.hit))
+        m = np.asarray(hb.hit)
+        assert np.allclose(np.asarray(hb.t)[m], np.asarray(ht.t)[m], rtol=1e-4)
+        assert np.array_equal(
+            np.asarray(hb.mesh_index)[m], np.asarray(ht.mesh_index)[m]
+        )
+
+    def test_any_hit_matches(self, np_rng):
+        meshes = [Mesh.sphere(10), Mesh.plane_xz(-1.0, 3.0)]
+        geom = assemble_geometry(meshes)
+        n = 128
+        o = _vec(np_rng.normal(size=(n, 3)).astype(np.float32)
+                 + np.array([0, 0, 3], np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)))
+        tmax = jnp.full((n,), 10.0)
+        ab = intersect_any_brute(geom, o, d, tmax)
+        at = intersect_any(geom, o, d, tmax)
+        assert np.array_equal(np.asarray(ab), np.asarray(at))
+
+    def test_shadow_skips_transmissive(self):
+        # glass cube between origin and light must not occlude
+        geom = assemble_geometry([Mesh.cube()], material_transmission=[0.98])
+        o = _vec(np.array([[0.0, 0.0, 5.0]], np.float32))
+        d = _vec(np.array([[0.0, 0.0, -1.0]], np.float32))
+        blocked = intersect_any(geom, o, d, jnp.full((1,), 20.0))
+        assert not bool(blocked[0])
+
+    def test_big_scene_traversal(self, np_rng):
+        # a denser mesh to force multi-level traversal
+        m = Mesh.sphere(32)
+        geom = assemble_geometry([m])
+        n = 512
+        # rays from a ring aimed at the sphere
+        # slight off-equator offset avoids exact edge/vertex seam hits
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False) + 1e-3
+        y = np.full(n, 0.0123)
+        o = _vec(np.stack([3 * np.cos(ang), y, 3 * np.sin(ang)], -1)
+                 .astype(np.float32))
+        d = normalize(_vec(-np.stack(
+            [np.cos(ang), np.zeros(n), np.sin(ang)], -1).astype(np.float32)))
+        h = intersect_closest(geom, o, d)
+        assert np.asarray(h.hit).all()
+        assert np.allclose(np.asarray(h.t), 2.5, atol=0.02)
