@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Metric: Mrays/s on the canonical showcase-scale scene (app/bench_scene.py),
+counting every traced ray (camera + bounce + NEE shadow), plus FPS at the
+BASELINE interactive config (1080p, 4 spp, depth 4, no denoiser).
+
+vs_baseline is measured Mrays/s divided by the BASELINE.json north-star
+target of 1000 Mrays/s (>=1.0 means target met).
+
+Env overrides: PTRT_BENCH_W/H, PTRT_BENCH_SPP, PTRT_BENCH_DEPTH,
+PTRT_BENCH_TRIS, PTRT_BENCH_FRAMES.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PTRT_JAX_CACHE", "/tmp/ptrt_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    # full config on TPU; scaled-down smoke config on CPU so the bench is
+    # still runnable (and honest about it) without hardware
+    w = int(os.environ.get("PTRT_BENCH_W", 1920 if on_tpu else 256))
+    h = int(os.environ.get("PTRT_BENCH_H", 1080 if on_tpu else 144))
+    spp = int(os.environ.get("PTRT_BENCH_SPP", 4))
+    depth = int(os.environ.get("PTRT_BENCH_DEPTH", 4))
+    tris = int(os.environ.get("PTRT_BENCH_TRIS",
+                              1_000_000 if on_tpu else 20_000))
+    frames = int(os.environ.get("PTRT_BENCH_FRAMES", 16 if on_tpu else 4))
+
+    from ptrt_tpu.app.bench_scene import build_bench_scene
+
+    t_setup = time.time()
+    sc = build_bench_scene(w, h, target_tris=tris)
+    sc.perf.enable_denoiser = False
+    sc.perf.enable_bloom = False
+    sc.perf.enable_motion_vectors = False
+    sc.perf.samples_per_pixel = spp
+    sc.perf.max_bounce_depth = depth
+    sc.perf.resolution_scale = 1.0
+    n_tris = sum(m.num_triangles for m in sc.meshes)
+    sc._ensure_device_state()
+    setup_s = time.time() - t_setup
+
+    from ptrt_tpu.scene.pt_scene import _trace_only
+    import ptrt_tpu.render.pipeline as pl
+    import jax.numpy as jnp
+
+    rh, rw = sc.render_size
+    fn = _trace_only(rw, rh, spp, depth, len(sc.lights), sc._use_brute(),
+                     sc.env_map is not None)
+
+    def one_frame(i):
+        state, bufs = fn(sc._geom, sc._mat_table, sc._light_table, sc._sky(),
+                         sc.camera, sc._rng_state, jnp.int32(i),
+                         sc._blue_noise)
+        sc._rng_state = state
+        return bufs
+
+    # warmup / compile
+    t0 = time.time()
+    bufs = one_frame(0)
+    jax.block_until_ready(bufs.color.x)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    total_rays = 0.0
+    for i in range(frames):
+        bufs = one_frame(i + 1)
+        total_rays += float(bufs.rays_traced)
+    jax.block_until_ready(bufs.color.x)
+    dt = time.time() - t0
+
+    fps = frames / dt
+    mrays = total_rays / dt / 1e6
+    result = {
+        "metric": "Mrays/s (all traced rays, showcase scene, %dx%d@%dspp d%d, %d tris)"
+                  % (w, h, spp, depth, n_tris),
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 1000.0, 4),
+        "extra": {
+            "fps": round(fps, 2),
+            "platform": jax.devices()[0].platform,
+            "setup_s": round(setup_s, 2),
+            "compile_s": round(compile_s, 2),
+            "frames": frames,
+            "rays_per_frame": round(total_rays / frames / 1e6, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-LEAF_SIZE = 4
+# 8 triangles per leaf: TPU gathers are per-index-cost (a 96-float row
+# gathers as cheaply as 1 float), so bigger leaf blocks mean fewer traversal
+# iterations at no gather cost
+LEAF_SIZE = 8
 
 
 @dataclass
@@ -71,6 +74,16 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     tmin = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     tmax = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
     cent = ((tmin + tmax) * 0.5).astype(np.float32)
+
+    # native C++ builder (ptrt_tpu/native) — same tree, ~1000x faster for
+    # large meshes; Python path below is the reference/fallback
+    from ptrt_tpu.native import native_build_bvh
+
+    nat = native_build_bvh(tmin, tmax, cent, leaf_size)
+    if nat is not None:
+        bmin_n, bmax_n, leaf_first_n, skip_n, order_n = nat
+        return FlatBVH(bmin=bmin_n, bmax=bmax_n, leaf_first=leaf_first_n,
+                       skip=skip_n, order=order_n)
 
     # Build tree over index ranges. Nodes recorded in DFS order.
     idx = np.arange(n)

@@ -30,19 +30,30 @@ from ptrt_tpu.geometry.mesh import Mesh
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class SceneGeometry:
-    """Device buffers for one assembled scene."""
+    """Device buffers for one assembled scene.
 
-    # triangles, leaf-block order, padded (length M)
+    Two packed-row tables drive traversal — TPU gathers cost per-index, not
+    per-byte, so each traversal iteration fetches exactly one node row and
+    (for leaves) one triangle-block row:
+
+    * ``node_rows`` (N, 8): bmin.xyz, bmax.xyz, bitcast(leaf_block_id),
+      bitcast(skip); ``leaf_block_id`` is -1 for interior nodes.
+    * ``tri_rows`` (B, LEAF_SIZE*12): per triangle [v0(3) e1(3) e2(3)
+      bitcast(mesh_id) shadow_opaque pad] — a whole leaf in one gather.
+
+    The SoA component views (v0/e1/e2/...) are kept for the gather-free
+    brute-force path and for debug.
+    """
+
+    # packed traversal tables
+    node_rows: jnp.ndarray  # (N, 8) f32
+    tri_rows: jnp.ndarray  # (B, LEAF_SIZE*12) f32
+    # triangles, leaf-block order, padded (length M) — brute-force path
     v0: Vec3
     e1: Vec3
     e2: Vec3
     tri_mesh_id: jnp.ndarray  # int32, -1 for padding
     tri_shadow_opaque: jnp.ndarray  # bool: occludes shadow rays
-    # flat BVH nodes (length N)
-    bmin: Vec3
-    bmax: Vec3
-    leaf_first: jnp.ndarray  # int32, -1 interior
-    skip: jnp.ndarray  # int32, == num_nodes terminates
 
     def tree_flatten(self):
         return tuple(getattr(self, f.name) for f in dataclasses.fields(self)), None
@@ -53,7 +64,7 @@ class SceneGeometry:
 
     @property
     def num_nodes(self) -> int:
-        return int(self.skip.shape[0])
+        return int(self.node_rows.shape[0])
 
     @property
     def num_tri_slots(self) -> int:
@@ -107,14 +118,30 @@ def assemble_geometry(meshes: list[Mesh],
         return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
                     jnp.asarray(a[:, 2]))
 
+    # -- packed node rows (N, 8) --------------------------------------------
+    n_nodes = bvh.bmin.shape[0]
+    leaf_block = np.where(bvh.leaf_first >= 0,
+                          bvh.leaf_first // leaf_size, -1).astype(np.int32)
+    node_rows = np.concatenate(
+        [bvh.bmin.astype(np.float32), bvh.bmax.astype(np.float32),
+         leaf_block.view(np.float32)[:, None],
+         bvh.skip.astype(np.int32).view(np.float32)[:, None]], axis=1)
+
+    # -- packed triangle-block rows (B, leaf_size*12) -----------------------
+    n_blocks = max(1, pmid.shape[0] // leaf_size)
+    per_tri = np.concatenate(
+        [pv0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32),
+         pmid.astype(np.int32).view(np.float32)[:, None],
+         opaque.astype(np.float32)[:, None],
+         np.zeros((pmid.shape[0], 1), np.float32)], axis=1)  # (M, 12)
+    tri_rows = per_tri.reshape(n_blocks, leaf_size * 12)
+
     return SceneGeometry(
+        node_rows=jnp.asarray(node_rows),
+        tri_rows=jnp.asarray(tri_rows),
         v0=dvec(pv0),
         e1=dvec(e1),
         e2=dvec(e2),
         tri_mesh_id=jnp.asarray(pmid.astype(np.int32)),
         tri_shadow_opaque=jnp.asarray(opaque),
-        bmin=dvec(bvh.bmin),
-        bmax=dvec(bvh.bmax),
-        leaf_first=jnp.asarray(bvh.leaf_first),
-        skip=jnp.asarray(bvh.skip),
     )

@@ -38,6 +38,7 @@ MAX_FINAL_RADIANCE = 100.0
 
 
 class PathOutput(NamedTuple):
+    rays_traced: jnp.ndarray  # scalar: closest-hit + shadow rays traced
     radiance: Vec3  # combined (non-split) radiance
     diffuse: Vec3  # split channels (valid when split=True)
     specular: Vec3
@@ -83,6 +84,7 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         first_object_id=jnp.full(shape, -1, jnp.int32),
         first_roughness=f32(1.0),
         first_transmission=f32(0.0),
+        rays=jnp.float32(0.0),
     )
 
     def cond(s):
@@ -95,6 +97,7 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         throughput = s["throughput"]
         rng_state = s["state"]
 
+        s["rays"] = s["rays"] + jnp.sum(alive.astype(jnp.float32))
         hit = closest(o, d)
         live_hit = alive & hit.hit
 
@@ -155,6 +158,7 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         # -- NEE with MIS (path_logic.cuh:840-857) --------------------------
         if n_lights > 0:
             do_nee = alive & jnp.logical_not(s["ray_spec"])
+            s["rays"] = s["rays"] + jnp.sum(do_nee.astype(jnp.float32))
             if split:
                 rng_state, l_nee, pdf_nee, (nee_d, nee_s) = (
                     sample_direct_lighting(
@@ -216,6 +220,7 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
 
     radiance = clamp_vector_soft(out["accum"], MAX_FINAL_RADIANCE)
     return out["state"], PathOutput(
+        rays_traced=out["rays"],
         radiance=radiance,
         diffuse=out["acc_diff"],
         specular=out["acc_spec"],

@@ -33,15 +33,17 @@ def sample_light(state, lights: LightTable, n_lights: int, point: Vec3):
     r = jnp.minimum(r, 0.99999994)
     li = (r * n_lights).astype(jnp.int32)
 
-    ltype = jnp.take(lights.type, li, axis=0)
-    lpos = _take3(lights.position, li)
-    ldir = _take3(lights.direction, li)
-    lcol = _take3(lights.color, li)
-    lint = jnp.take(lights.intensity, li, axis=0)
-    lrange = jnp.take(lights.range, li, axis=0)
-    linner = jnp.take(lights.inner_cone, li, axis=0)
-    louter = jnp.take(lights.outer_cone, li, axis=0)
-    lradius = jnp.take(lights.radius, li, axis=0)
+    # one packed row gather for all 14 light fields
+    row = jnp.take(lights.packed, li, axis=0)
+    ltype = row[..., 0].astype(jnp.int32)
+    lpos = Vec3(row[..., 1], row[..., 2], row[..., 3])
+    ldir = Vec3(row[..., 4], row[..., 5], row[..., 6])
+    lcol = Vec3(row[..., 7], row[..., 8], row[..., 9])
+    lint = row[..., 10]
+    lrange = row[..., 11]
+    linner = row[..., 12]
+    louter = row[..., 13]
+    lradius = row[..., 14]
 
     pdf_pick = 1.0 / float(n_lights)
     radiance = lcol * lint

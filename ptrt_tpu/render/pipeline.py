@@ -40,6 +40,7 @@ class FrameBuffers(NamedTuple):
     object_id: jnp.ndarray
     roughness: jnp.ndarray
     transmission: jnp.ndarray
+    rays_traced: jnp.ndarray  # scalar (all spp)
 
 
 def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
@@ -64,34 +65,35 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
         state, out = trace_path(geom, materials, lights, n_lights, sky, ray,
                                 state, max_depth, split=split,
                                 use_brute=use_brute)
-        acc_color, acc_d, acc_s, acc_e, first = acc
+        acc_color, acc_d, acc_s, acc_e, rays, first = acc
         acc_color = acc_color + out.radiance
         acc_d = acc_d + out.diffuse
         acc_s = acc_s + out.specular
         acc_e = acc_e + out.emission
+        rays = rays + out.rays_traced
         # G-buffers from sample 0 (scene_kernels.cuh:180-185)
         first = jax.tree_util.tree_map(
             lambda f, n: jnp.where(s == 0, n, f), first,
             (out.first_normal, out.first_depth, out.first_object_id,
              out.first_roughness, out.first_transmission))
-        return state, (acc_color, acc_d, acc_s, acc_e, first)
+        return state, (acc_color, acc_d, acc_s, acc_e, rays, first)
 
     zero3 = Vec3.zeros((height, width))
     first0 = (zero3, jnp.full((height, width), 1e30),
               jnp.full((height, width), -1, jnp.int32),
               jnp.ones((height, width)), jnp.zeros((height, width)))
-    init = (rng_state, (zero3, zero3, zero3, zero3, first0))
+    init = (rng_state, (zero3, zero3, zero3, zero3, jnp.float32(0.0), first0))
     if spp == 1:
         state, acc = sample(0, init)
     else:
         state, acc = jax.lax.fori_loop(0, spp, sample, init)
-    color, diff, spec, emis, first = acc
+    color, diff, spec, emis, rays, first = acc
     inv = 1.0 / float(spp)
     normal, depth, objid, rough, trans = first
     return state, FrameBuffers(
         color=color * inv, diffuse=diff * inv, specular=spec * inv,
         emission=emis * inv, normal=normal, depth=depth, object_id=objid,
-        roughness=rough, transmission=trans,
+        roughness=rough, transmission=trans, rays_traced=rays,
     )
 
 

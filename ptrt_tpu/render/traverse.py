@@ -1,23 +1,27 @@
 """Lock-step BVH traversal + Möller–Trumbore intersection over ray wavefronts.
 
 TPU-native replacement for the reference's per-thread stack walks
-(``intersection.cuh:300-435`` BLAS, ``:526-605`` TLAS, ``:481-524`` any-hit):
-every ray in the batch holds a single node pointer into the skip-pointer BVH
-(geometry/bvh.py) and all rays advance together inside one
-``lax.while_loop``; interior hits descend to ``i+1``, misses and leaves jump
-to ``skip[i]``.  Leaf blocks are a fixed ``LEAF_SIZE`` triangles, so the leaf
-test is a statically unrolled K-wide MT test.
+(``intersection.cuh:300-435`` BLAS, ``:526-605`` TLAS, ``:481-524`` any-hit).
+Every ray holds one node pointer into the skip-pointer BVH
+(geometry/bvh.py); all rays advance together inside one ``lax.while_loop``;
+interior hits descend to ``i+1``, misses and leaves jump to ``skip[i]``.
+
+Measured TPU reality shapes the memory layout: a gather of R indices costs
+the same whether each row is 1 float or ~100 floats (per-index cost, see
+SURVEY perf notes), so each iteration issues exactly TWO gathers — one
+packed node row (bounds + links) and one packed leaf block (8 triangles,
+MT-ready) — and the 8-wide triangle test is unrolled elementwise VPU work.
+Hit attributes (normal, mesh id, barycentrics) are carried through the loop,
+so no post-traversal gathers are needed.
 
 A gather-free brute-force path (tiled over triangle chunks) is provided for
-small scenes — at toy scale it beats the BVH on TPU because it is pure
-elementwise VPU work.
+small scenes, where dense elementwise work beats any gather.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -51,11 +55,6 @@ class Hit:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
-
-
-def _gather_vec3(v: Vec3, idx: jnp.ndarray) -> Vec3:
-    return Vec3(jnp.take(v.x, idx, axis=0), jnp.take(v.y, idx, axis=0),
-                jnp.take(v.z, idx, axis=0))
 
 
 def _mt_test(v0: Vec3, e1: Vec3, e2: Vec3, o: Vec3, d: Vec3, t_min, t_max):
@@ -108,21 +107,31 @@ def _safe_inv(d: Vec3) -> Vec3:
     return Vec3(inv(d.x), inv(d.y), inv(d.z))
 
 
-def _finalize_hit(geom: SceneGeometry, o: Vec3, d: Vec3, best_t, best_tri,
-                  best_u, best_v) -> Hit:
-    found = best_tri >= 0
-    idx = jnp.maximum(best_tri, 0)
-    e1 = _gather_vec3(geom.e1, idx)
-    e2 = _gather_vec3(geom.e2, idx)
-    n = cross(e1, e2).normalized(1e-30)
-    front = d.dot(n) < 0.0
-    n = where(front, n, -n)
-    mesh_id = jnp.where(found, jnp.take(geom.tri_mesh_id, idx, axis=0), -1)
-    point = o + d * best_t
-    return Hit(
-        hit=found, t=best_t, point=point, normal=n, front_face=front,
-        mesh_index=mesh_id, u=best_u, v=best_v,
-    )
+def _i32(col: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(col, jnp.int32)
+
+
+def _fetch_node(geom: SceneGeometry, nidx):
+    row = jnp.take(geom.node_rows, nidx, axis=0)  # (R, 8)
+    bmin = Vec3(row[..., 0], row[..., 1], row[..., 2])
+    bmax = Vec3(row[..., 3], row[..., 4], row[..., 5])
+    leaf_block = _i32(row[..., 6])
+    skip = _i32(row[..., 7])
+    return bmin, bmax, leaf_block, skip
+
+
+def _fetch_leaf(geom: SceneGeometry, leaf_block):
+    blk = jnp.take(geom.tri_rows, jnp.maximum(leaf_block, 0), axis=0)
+    out = []
+    for k in range(LEAF_SIZE):
+        b = k * 12
+        v0 = Vec3(blk[..., b + 0], blk[..., b + 1], blk[..., b + 2])
+        e1 = Vec3(blk[..., b + 3], blk[..., b + 4], blk[..., b + 5])
+        e2 = Vec3(blk[..., b + 6], blk[..., b + 7], blk[..., b + 8])
+        mesh_id = _i32(blk[..., b + 9])
+        opaque = blk[..., b + 10] > 0.5
+        out.append((v0, e1, e2, mesh_id, opaque))
+    return out
 
 
 # -- BVH path ---------------------------------------------------------------
@@ -138,37 +147,36 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
     inv_d = _safe_inv(d)
     n_nodes = geom.num_nodes
 
-    node0 = jnp.zeros(shape, jnp.int32)
-    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
-    tri0 = jnp.full(shape, -1, jnp.int32)
-    u0 = jnp.zeros(shape, jnp.float32)
-    v0_ = jnp.zeros(shape, jnp.float32)
+    state0 = dict(
+        node=jnp.zeros(shape, jnp.int32),
+        t=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape),
+        u=jnp.zeros(shape, jnp.float32),
+        v=jnp.zeros(shape, jnp.float32),
+        nrm=Vec3.zeros(shape),
+        mesh=jnp.full(shape, -1, jnp.int32),
+    )
 
-    def cond(state):
-        node, *_ = state
-        return jnp.any(node < n_nodes)
+    def cond(s):
+        return jnp.any(s["node"] < n_nodes)
 
-    def body(state):
-        node, best_t, best_tri, best_u, best_v = state
+    def body(s):
+        node = s["node"]
         active = node < n_nodes
         nidx = jnp.minimum(node, n_nodes - 1)
-        bmin = _gather_vec3(geom.bmin, nidx)
-        bmax = _gather_vec3(geom.bmax, nidx)
-        leaf_first = jnp.take(geom.leaf_first, nidx, axis=0)
-        skip = jnp.take(geom.skip, nidx, axis=0)
+        bmin, bmax, leaf_block, skip = _fetch_node(geom, nidx)
 
-        box_hit = _slab_test(bmin, bmax, o, inv_d, best_t) & active
-        is_leaf = leaf_first >= 0
+        box_hit = _slab_test(bmin, bmax, o, inv_d, s["t"]) & active
+        is_leaf = leaf_block >= 0
         test_leaf = box_hit & is_leaf
 
-        for k in range(LEAF_SIZE):
-            ti = jnp.maximum(leaf_first, 0) + k
-            tv0 = _gather_vec3(geom.v0, ti)
-            te1 = _gather_vec3(geom.e1, ti)
-            te2 = _gather_vec3(geom.e2, ti)
-            ok, t, uu, vv = _mt_test(tv0, te1, te2, o, d, T_MIN, best_t)
-            ok = ok & test_leaf
-            best_tri = jnp.where(ok, ti, best_tri)
+        best_t, best_u, best_v = s["t"], s["u"], s["v"]
+        best_nrm, best_mesh = s["nrm"], s["mesh"]
+        for v0, e1, e2, mesh_id, _ in _fetch_leaf(geom, leaf_block):
+            ok, t, uu, vv = _mt_test(v0, e1, e2, o, d, T_MIN, best_t)
+            ok = ok & test_leaf & (mesh_id >= 0)
+            n = cross(e1, e2)
+            best_nrm = where(ok, n, best_nrm)
+            best_mesh = jnp.where(ok, mesh_id, best_mesh)
             best_u = jnp.where(ok, uu, best_u)
             best_v = jnp.where(ok, vv, best_v)
             best_t = jnp.where(ok, t, best_t)
@@ -176,17 +184,25 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
         descend = box_hit & jnp.logical_not(is_leaf)
         node = jnp.where(descend, node + 1, skip)
         node = jnp.where(active, node, n_nodes)
-        return node, best_t, best_tri, best_u, best_v
+        return dict(node=node, t=best_t, u=best_u, v=best_v, nrm=best_nrm,
+                    mesh=best_mesh)
 
-    _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
-        cond, body, (node0, t0, tri0, u0, v0_)
+    s = jax.lax.while_loop(cond, body, state0)
+
+    found = s["mesh"] >= 0
+    n = s["nrm"].normalized(1e-30)
+    front = d.dot(n) < 0.0
+    n = where(front, n, -n)
+    return Hit(
+        hit=found, t=s["t"], point=o + d * s["t"], normal=n,
+        front_face=front, mesh_index=jnp.where(found, s["mesh"], -1),
+        u=s["u"], v=s["v"],
     )
-    return _finalize_hit(geom, o, d, best_t, best_tri, best_u, best_v)
 
 
 def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
                   t_max) -> jnp.ndarray:
-    """Shadow any-hit; skips transmissive occluders (transmission > 0.5),
+    """Shadow any-hit; skips transmissive occluders,
     matching ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``)."""
     shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
                                  jnp.shape(t_max))
@@ -196,9 +212,6 @@ def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
     inv_d = _safe_inv(d)
     n_nodes = geom.num_nodes
 
-    node0 = jnp.zeros(shape, jnp.int32)
-    hit0 = jnp.zeros(shape, bool)
-
     def cond(state):
         node, hit = state
         return jnp.any((node < n_nodes) & jnp.logical_not(hit))
@@ -207,34 +220,48 @@ def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
         node, hit = state
         active = (node < n_nodes) & jnp.logical_not(hit)
         nidx = jnp.minimum(node, n_nodes - 1)
-        bmin = _gather_vec3(geom.bmin, nidx)
-        bmax = _gather_vec3(geom.bmax, nidx)
-        leaf_first = jnp.take(geom.leaf_first, nidx, axis=0)
-        skip = jnp.take(geom.skip, nidx, axis=0)
+        bmin, bmax, leaf_block, skip = _fetch_node(geom, nidx)
 
         box_hit = _slab_test(bmin, bmax, o, inv_d, t_max) & active
-        is_leaf = leaf_first >= 0
+        is_leaf = leaf_block >= 0
         test_leaf = box_hit & is_leaf
 
-        for k in range(LEAF_SIZE):
-            ti = jnp.maximum(leaf_first, 0) + k
-            tv0 = _gather_vec3(geom.v0, ti)
-            te1 = _gather_vec3(geom.e1, ti)
-            te2 = _gather_vec3(geom.e2, ti)
-            ok, _, _, _ = _mt_test(tv0, te1, te2, o, d, T_MIN, t_max)
-            opaque = jnp.take(geom.tri_shadow_opaque, ti, axis=0)
-            hit = hit | (ok & test_leaf & opaque)
+        for v0, e1, e2, mesh_id, opaque in _fetch_leaf(geom, leaf_block):
+            ok, _, _, _ = _mt_test(v0, e1, e2, o, d, T_MIN, t_max)
+            hit = hit | (ok & test_leaf & opaque & (mesh_id >= 0))
 
         descend = box_hit & jnp.logical_not(is_leaf)
         node = jnp.where(descend, node + 1, skip)
         node = jnp.where(active, node, n_nodes)
         return node, hit
 
-    _, hit = jax.lax.while_loop(cond, body, (node0, hit0))
+    _, hit = jax.lax.while_loop(
+        cond, body, (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool)))
     return hit
 
 
 # -- brute-force path (small scenes; gather-free) ---------------------------
+
+
+def _finalize_hit_brute(geom: SceneGeometry, o: Vec3, d: Vec3, best_t,
+                        best_tri, best_u, best_v) -> Hit:
+    found = best_tri >= 0
+    idx = jnp.maximum(best_tri, 0)
+
+    def g3(v: Vec3):
+        return Vec3(jnp.take(v.x, idx, axis=0), jnp.take(v.y, idx, axis=0),
+                    jnp.take(v.z, idx, axis=0))
+
+    e1 = g3(geom.e1)
+    e2 = g3(geom.e2)
+    n = cross(e1, e2).normalized(1e-30)
+    front = d.dot(n) < 0.0
+    n = where(front, n, -n)
+    mesh_id = jnp.where(found, jnp.take(geom.tri_mesh_id, idx, axis=0), -1)
+    return Hit(
+        hit=found, t=best_t, point=o + d * best_t, normal=n, front_face=front,
+        mesh_index=mesh_id, u=best_u, v=best_v,
+    )
 
 
 def intersect_closest_brute(geom: SceneGeometry, o: Vec3, d: Vec3,
@@ -293,7 +320,7 @@ def intersect_closest_brute(geom: SceneGeometry, o: Vec3, d: Vec3,
     best_t, best_tri, best_u, best_v = jax.lax.fori_loop(
         0, n_chunks, body, (t0, tri0, u0, v0_)
     )
-    return _finalize_hit(geom, o, d, best_t, best_tri, best_u, best_v)
+    return _finalize_hit_brute(geom, o, d, best_t, best_tri, best_u, best_v)
 
 
 def intersect_any_brute(geom: SceneGeometry, o: Vec3, d: Vec3, t_max,

@@ -59,17 +59,17 @@ class Light:
 
     @staticmethod
     def spot(position, direction, color=(1.0, 1.0, 1.0), intensity=1.0,
-             range=100.0, inner_cone_deg=20.0, outer_cone_deg=30.0,
+             range=100.0, inner_cone=0.5, outer_cone=0.7,
              radius=0.0) -> "Light":
-        """Cone angles in degrees, stored as cosines
-        (``scene.cuh:1523-1545`` addSpotLight)."""
+        """Cone angles in RADIANS, stored as cosines — matching
+        ``addSpotLight`` (``scene.cuh:1527-1544``)."""
         d = np.asarray(direction, np.float64)
         d = d / max(np.linalg.norm(d), 1e-12)
         return Light(
             LightType.SPOT, tuple(position), tuple(d), tuple(color), intensity,
             range,
-            inner_cone=float(np.cos(np.radians(inner_cone_deg))),
-            outer_cone=float(np.cos(np.radians(outer_cone_deg))),
+            inner_cone=float(np.cos(inner_cone)),
+            outer_cone=float(np.cos(outer_cone)),
             radius=radius,
         )
 
@@ -98,6 +98,7 @@ class LightTable:
     inner_cone: jnp.ndarray
     outer_cone: jnp.ndarray
     radius: jnp.ndarray
+    packed: jnp.ndarray  # (L, 16): one row gather per NEE sample
 
     def tree_flatten(self):
         return tuple(getattr(self, f.name) for f in dataclasses.fields(self)), None
@@ -127,6 +128,22 @@ class LightTable:
         types = np.array(
             [int(LightType.POINT if l.type == LightType.AREA else l.type)
              for l in lights], np.int32)
+
+        def arr3(name):
+            return np.array([getattr(l, name) for l in lights], np.float32)
+
+        def arr1(name):
+            return np.array([getattr(l, name) for l in lights],
+                            np.float32)[:, None]
+
+        # packed layout: [type pos(3) dir(3) color(3) intensity range
+        #                 inner outer radius pad]
+        packed = np.concatenate(
+            [types.astype(np.float32)[:, None], arr3("position"),
+             arr3("direction"), arr3("color"), arr1("intensity"),
+             arr1("range"), arr1("inner_cone"), arr1("outer_cone"),
+             arr1("radius"), np.zeros((len(lights), 1), np.float32)], axis=1)
+
         return LightTable(
             type=jnp.asarray(types),
             position=v3("position"),
@@ -137,4 +154,5 @@ class LightTable:
             inner_cone=f("inner_cone"),
             outer_cone=f("outer_cone"),
             radius=f("radius"),
+            packed=jnp.asarray(packed),
         )

@@ -99,6 +99,7 @@ class MaterialTable:
     sheen: jnp.ndarray
     iridescence: jnp.ndarray
     iridescence_thickness: jnp.ndarray
+    packed: jnp.ndarray  # (M, 32) all fields — one row gather per fetch
 
     def tree_flatten(self):
         return tuple(getattr(self, f.name) for f in dataclasses.fields(self)), None
@@ -111,47 +112,62 @@ class MaterialTable:
     def count(self) -> int:
         return int(self.metallic.shape[0])
 
+    # packed layout: [albedo(3) specular(3) emission(3) subsurface_color(3)
+    #                 sheen_tint(3) metallic roughness ior transmission
+    #                 transmission_roughness clearcoat clearcoat_roughness
+    #                 subsurface_radius anisotropy sheen iridescence
+    #                 iridescence_thickness pad(5)]
     @staticmethod
     def from_materials(mats: list[Material]) -> "MaterialTable":
-        """Pack host materials into device SoA (``scene.cuh:286-431``
-        uploadMaterialSoA equivalent — one host->device transfer)."""
+        """Pack host materials into device SoA + one packed row table
+        (``scene.cuh:286-431`` uploadMaterialSoA equivalent).  TPU gathers
+        are per-index cost, so shading fetches the whole 17-field record in
+        a single row gather."""
         if not mats:
             mats = [Material()]
         kw = {}
+        cols = []
         for name in FIELDS_V3:
             arr = np.array([getattr(m, name) for m in mats], np.float32)
             kw[name] = Vec3(
                 jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2])
             )
+            cols.append(arr)
         for name in FIELDS_F:
-            kw[name] = jnp.asarray(
-                np.array([getattr(m, name) for m in mats], np.float32)
-            )
+            arr = np.array([getattr(m, name) for m in mats], np.float32)
+            kw[name] = jnp.asarray(arr)
+            cols.append(arr[:, None])
+        packed = np.concatenate(cols, axis=1)
+        pad = 32 - packed.shape[1]
+        packed = np.concatenate(
+            [packed, np.zeros((packed.shape[0], pad), np.float32)], axis=1)
+        kw["packed"] = jnp.asarray(packed)
         return MaterialTable(**kw)
 
     def gather(self, mat_id: jnp.ndarray) -> "MaterialLanes":
         """Fetch per-ray material properties by id — the wavefront analog of
-        ``MaterialProps::load`` (``path_logic.cuh:89-105``)."""
-        take = lambda a: jnp.take(a, mat_id, axis=0)
-        take3 = lambda v: Vec3(take(v.x), take(v.y), take(v.z))
+        ``MaterialProps::load`` (``path_logic.cuh:89-105``), as ONE row
+        gather."""
+        row = jnp.take(self.packed, mat_id, axis=0)
+        c3 = lambda i: Vec3(row[..., i], row[..., i + 1], row[..., i + 2])
         return MaterialLanes(
-            albedo=take3(self.albedo),
-            specular=take3(self.specular),
-            emission=take3(self.emission),
-            sheen_tint=take3(self.sheen_tint),
-            subsurface_color=take3(self.subsurface_color),
-            metallic=take(self.metallic),
-            roughness=take(self.roughness),
-            ior=take(self.ior),
-            transmission=take(self.transmission),
-            transmission_roughness=take(self.transmission_roughness),
-            clearcoat=take(self.clearcoat),
-            clearcoat_roughness=take(self.clearcoat_roughness),
-            subsurface_radius=take(self.subsurface_radius),
-            anisotropy=take(self.anisotropy),
-            sheen=take(self.sheen),
-            iridescence=take(self.iridescence),
-            iridescence_thickness=take(self.iridescence_thickness),
+            albedo=c3(0),
+            specular=c3(3),
+            emission=c3(6),
+            subsurface_color=c3(9),
+            sheen_tint=c3(12),
+            metallic=row[..., 15],
+            roughness=row[..., 16],
+            ior=row[..., 17],
+            transmission=row[..., 18],
+            transmission_roughness=row[..., 19],
+            clearcoat=row[..., 20],
+            clearcoat_roughness=row[..., 21],
+            subsurface_radius=row[..., 22],
+            anisotropy=row[..., 23],
+            sheen=row[..., 24],
+            iridescence=row[..., 25],
+            iridescence_thickness=row[..., 26],
         )
 
 

@@ -137,10 +137,11 @@ class Scene:
         return lt
 
     def add_spot_light(self, position, direction, color=(1, 1, 1),
-                       intensity=1.0, inner_cone_deg=20.0, outer_cone_deg=30.0,
+                       intensity=1.0, inner_cone=0.5, outer_cone=0.7,
                        range=100.0, radius=0.0) -> Light:
+        """Cone angles in radians (``scene.cuh:1527-1544``)."""
         lt = Light.spot(position, direction, color, intensity, range,
-                        inner_cone_deg, outer_cone_deg, radius)
+                        inner_cone, outer_cone, radius)
         self.lights.append(lt)
         self._light_dirty = True
         self.reset_accumulation()

@@ -7,7 +7,6 @@ is exercised with ``xla_force_host_platform_device_count=8``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +17,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# NOTE: this environment's sitecustomize force-registers the 'axon' TPU
+# platform and ignores the JAX_PLATFORMS env var; the config update below is
+# what actually pins tests to the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/ptrt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
