@@ -848,6 +848,14 @@ class UnifiedSceneBuilder:
         changed = False
         for i in unified.get_dirty_mesh_indices():
             desc = unified.meshes[i]
+            if i >= len(scene.meshes):
+                # object spawned after build (instantiateObject path)
+                mesh = _make_mesh(desc)
+                _apply_transform(mesh, desc)
+                mesh.is_dynamic = desc.is_dynamic
+                scene.add_mesh(mesh, _resolve_material(unified, desc))
+                changed = True
+                continue
             mesh = scene.meshes[i]
             if desc.type == MeshType.Triangles:
                 mesh.set_triangles(desc.triangle_verts.reshape(-1, 3, 3))
@@ -913,6 +921,13 @@ class UnifiedSceneBuilder:
         changed = False
         for i in unified.get_dirty_mesh_indices():
             desc = unified.meshes[i]
+            if i >= len(scene.meshes):
+                mesh = _make_mesh(desc)
+                _apply_transform(mesh, desc)
+                mesh.is_dynamic = desc.is_dynamic
+                scene.add_mesh(mesh, _resolve_material(unified, desc))
+                changed = True
+                continue
             mesh = scene.meshes[i]
             if desc.type == MeshType.Triangles:
                 mesh.set_triangles(desc.triangle_verts.reshape(-1, 3, 3))
