@@ -30,35 +30,47 @@ struct BuildCtx {
     std::vector<int32_t> left_child, right_child;
 };
 
-int build_node(BuildCtx &ctx, int64_t *idx, int64_t count) {
-    const int node_id = static_cast<int>(ctx.leaf_first.size());
-    float bmn[3] = {3.4e38f, 3.4e38f, 3.4e38f};
-    float bmx[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
-    for (int64_t i = 0; i < count; ++i) {
-        const float *lo = ctx.tmin + idx[i] * 3;
-        const float *hi = ctx.tmax + idx[i] * 3;
+struct Box {
+    float mn[3] = {3.4e38f, 3.4e38f, 3.4e38f};
+    float mx[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
+    void grow(const float *lo, const float *hi) {
         for (int a = 0; a < 3; ++a) {
-            bmn[a] = std::min(bmn[a], lo[a]);
-            bmx[a] = std::max(bmx[a], hi[a]);
+            mn[a] = std::min(mn[a], lo[a]);
+            mx[a] = std::max(mx[a], hi[a]);
         }
     }
-    ctx.bmin.insert(ctx.bmin.end(), bmn, bmn + 3);
-    ctx.bmax.insert(ctx.bmax.end(), bmx, bmx + 3);
+    void grow(const Box &b) { grow(b.mn, b.mx); }
+    float half_area() const {
+        const float dx = std::max(0.0f, mx[0] - mn[0]);
+        const float dy = std::max(0.0f, mx[1] - mn[1]);
+        const float dz = std::max(0.0f, mx[2] - mn[2]);
+        return dx * dy + dy * dz + dz * dx;
+    }
+};
+
+constexpr int SAH_BINS = 16;
+
+int build_node(BuildCtx &ctx, int64_t *idx, int64_t count) {
+    const int node_id = static_cast<int>(ctx.leaf_first.size());
+    Box nb;
+    for (int64_t i = 0; i < count; ++i)
+        nb.grow(ctx.tmin + idx[i] * 3, ctx.tmax + idx[i] * 3);
+    ctx.bmin.insert(ctx.bmin.end(), nb.mn, nb.mn + 3);
+    ctx.bmax.insert(ctx.bmax.end(), nb.mx, nb.mx + 3);
     ctx.leaf_first.push_back(-1);
     ctx.skip.push_back(-1);
     ctx.left_child.push_back(-1);
     ctx.right_child.push_back(-1);
 
     if (count <= ctx.leaf_size) {
-        const int64_t first =
-            static_cast<int64_t>(ctx.order.size());
+        const int64_t first = static_cast<int64_t>(ctx.order.size());
         for (int64_t i = 0; i < count; ++i) ctx.order.push_back(idx[i]);
         for (int64_t i = count; i < ctx.leaf_size; ++i) ctx.order.push_back(-1);
         ctx.leaf_first[node_id] = static_cast<int32_t>(first);
         return node_id;
     }
 
-    // longest centroid axis
+    // centroid bounds
     float cmn[3] = {3.4e38f, 3.4e38f, 3.4e38f};
     float cmx[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
     for (int64_t i = 0; i < count; ++i) {
@@ -68,21 +80,84 @@ int build_node(BuildCtx &ctx, int64_t *idx, int64_t count) {
             cmx[a] = std::max(cmx[a], c[a]);
         }
     }
-    int axis = 0;
-    float best = cmx[0] - cmn[0];
-    for (int a = 1; a < 3; ++a) {
+
+    // binned SAH over all three axes; fall back to median split when
+    // degenerate.  SAH trees sharply reduce worst-case node visits, which
+    // is what the lock-step vector traversal pays for.
+    int best_axis = -1, best_bin = -1;
+    float best_cost = 3.4e38f;
+    float inv_ext[3];
+    for (int a = 0; a < 3; ++a) {
         const float e = cmx[a] - cmn[a];
-        if (e > best) {
-            best = e;
-            axis = a;
+        inv_ext[a] = e > 1e-12f ? 1.0f / e : 0.0f;
+    }
+    for (int axis = 0; axis < 3; ++axis) {
+        if (inv_ext[axis] == 0.0f) continue;
+        Box bins[SAH_BINS];
+        int64_t bcount[SAH_BINS] = {0};
+        for (int64_t i = 0; i < count; ++i) {
+            const float c = ctx.cent[idx[i] * 3 + axis];
+            int b = static_cast<int>((c - cmn[axis]) * inv_ext[axis]
+                                     * SAH_BINS);
+            b = std::min(std::max(b, 0), SAH_BINS - 1);
+            bins[b].grow(ctx.tmin + idx[i] * 3, ctx.tmax + idx[i] * 3);
+            bcount[b]++;
+        }
+        Box right_acc[SAH_BINS];
+        Box acc;
+        int64_t rcount[SAH_BINS] = {0};
+        int64_t rc = 0;
+        for (int b = SAH_BINS - 1; b >= 1; --b) {
+            acc.grow(bins[b]);
+            rc += bcount[b];
+            right_acc[b] = acc;
+            rcount[b] = rc;
+        }
+        Box lbox;
+        int64_t lc = 0;
+        for (int b = 0; b < SAH_BINS - 1; ++b) {
+            lbox.grow(bins[b]);
+            lc += bcount[b];
+            if (lc == 0 || rcount[b + 1] == 0) continue;
+            const float cost = lbox.half_area() * lc
+                               + right_acc[b + 1].half_area() * rcount[b + 1];
+            if (cost < best_cost) {
+                best_cost = cost;
+                best_axis = axis;
+                best_bin = b;
+            }
         }
     }
 
-    const int64_t half = count / 2;
-    std::nth_element(idx, idx + half, idx + count,
-                     [&](int64_t a, int64_t b) {
-                         return ctx.cent[a * 3 + axis] < ctx.cent[b * 3 + axis];
-                     });
+    int64_t half = -1;
+    if (best_axis >= 0) {
+        const float split =
+            cmn[best_axis]
+            + (best_bin + 1) * (cmx[best_axis] - cmn[best_axis]) / SAH_BINS;
+        int64_t *mid = std::partition(
+            idx, idx + count, [&](int64_t t) {
+                return ctx.cent[t * 3 + best_axis] < split;
+            });
+        half = mid - idx;
+        if (half == 0 || half == count) half = -1;  // degenerate partition
+    }
+    if (half < 0) {
+        // median fallback on longest centroid axis
+        int axis = 0;
+        float beste = cmx[0] - cmn[0];
+        for (int a = 1; a < 3; ++a) {
+            if (cmx[a] - cmn[a] > beste) {
+                beste = cmx[a] - cmn[a];
+                axis = a;
+            }
+        }
+        half = count / 2;
+        std::nth_element(idx, idx + half, idx + count,
+                         [&](int64_t a, int64_t b) {
+                             return ctx.cent[a * 3 + axis]
+                                    < ctx.cent[b * 3 + axis];
+                         });
+    }
 
     const int lid = build_node(ctx, idx, half);
     const int rid = build_node(ctx, idx + half, count - half);

@@ -350,6 +350,18 @@ class Scene:
             img = self.render_frame()
         save_ppm(path, img)
 
+    def render_wireframe(self, thickness: float = 0.05) -> np.ndarray:
+        """Barycentric-edge wireframe debug render
+        (``render_kernel_wireframe``, ``scene_kernels.cuh:54-118``)."""
+        self._ensure_device_state()
+        fn = _wireframe_program(self.width, self.height, self._use_brute())
+        img = fn(self._geom, self._mat_table, self.camera,
+                 Vec3(*[jnp.float32(c) for c in self.sky_color_top]),
+                 Vec3(*[jnp.float32(c) for c in self.sky_color_bottom]),
+                 jnp.float32(1.0 if self.use_sky else 0.0),
+                 jnp.float32(thickness))
+        return np.asarray(jax.device_get(img))
+
     # -- debug probe (scene.cuh:1367-1391) ----------------------------------
     def trace_single_ray(self, origin, direction):
         """Host-callable 1-ray query for picking/gameplay raycasts."""
@@ -370,6 +382,43 @@ class Scene:
 
 _frame_cache: dict = {}
 _trace_cache: dict = {}
+_wire_cache: dict = {}
+
+
+def _wireframe_program(width: int, height: int, use_brute: bool):
+    key = (width, height, use_brute)
+    if key in _wire_cache:
+        return _wire_cache[key]
+
+    from ptrt_tpu.core.vec import lerp, where as vwhere
+    from ptrt_tpu.scene.camera import pixel_grid
+
+    def fn(geom, mats, camera, sky_top, sky_bottom, use_sky, thickness):
+        s, t = pixel_grid(width, height)
+        ray = camera.get_ray_simple(s, t)
+        if use_brute:
+            hit = traverse.intersect_closest_brute(geom, ray.origin,
+                                                   ray.direction)
+        else:
+            hit = traverse.intersect_closest(geom, ray.origin, ray.direction)
+        w_bary = 1.0 - hit.u - hit.v
+        edge = hit.hit & ((hit.u < thickness) | (hit.v < thickness)
+                          | (w_bary < thickness))
+        lanes = mats.gather(jnp.maximum(hit.mesh_index, 0))
+        emissive = lanes.emission.x > 0.0
+        edge_color = vwhere(emissive, lanes.emission, Vec3.full(1.0))
+        tsky = 0.5 * (ray.direction.y + 1.0)
+        sky = lerp(sky_bottom, sky_top, tsky) * use_sky
+        color = vwhere(edge, edge_color, sky)
+        color = color / (color + 1.0)
+        g = 1.0 / 2.2
+        arr = jnp.stack([jnp.power(jnp.maximum(color.x, 0.0), g),
+                         jnp.power(jnp.maximum(color.y, 0.0), g),
+                         jnp.power(jnp.maximum(color.z, 0.0), g)], axis=-1)
+        return jnp.clip(arr * 255.99, 0, 255).astype(jnp.uint8)[::-1]
+
+    _wire_cache[key] = jax.jit(fn)
+    return _wire_cache[key]
 
 
 def _trace_only(rw, rh, spp, depth, n_lights, use_brute, has_env):
