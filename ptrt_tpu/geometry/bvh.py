@@ -25,10 +25,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-# 8 triangles per leaf: TPU gathers are per-index-cost (a 96-float row
-# gathers as cheaply as 1 float), so bigger leaf blocks mean fewer traversal
-# iterations at no gather cost
-LEAF_SIZE = 8
+# 16 triangles per leaf: TPU gathers are per-index-cost (a ~100-float row
+# gathers nearly as cheaply as 1 float), so fat leaf blocks mean fewer
+# traversal iterations at marginal gather cost; the 16-wide MT test is
+# cheap unrolled VPU work
+LEAF_SIZE = 16
 
 
 @dataclass

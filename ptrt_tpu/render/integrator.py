@@ -52,13 +52,20 @@ class PathOutput(NamedTuple):
 
 def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
                ray: RayBatch, state, max_depth: int, split: bool = False,
-               use_brute: bool = False) -> tuple:
-    """Trace the wavefront to completion. Returns (rng_state, PathOutput)."""
+               use_brute: bool = False, unroll: bool = True) -> tuple:
+    """Trace the wavefront to completion. Returns (rng_state, PathOutput).
+
+    ``unroll=True`` expands the bounce loop statically (a Python loop of
+    ``max_depth`` bodies) instead of a ``lax.while_loop``: measured on TPU,
+    traversal gathers inside a NESTED while run ~5x slower than the same
+    gathers at one loop level, so unrolling the outer loop is a large win;
+    it also lets XLA skip whole bounces only when every lane is dead.
+    """
     if use_brute:
-        closest = lambda o, d: traverse.intersect_closest_brute(geom, o, d)
+        closest = lambda o, d, t: traverse.intersect_closest_brute(geom, o, d, t)
         any_hit = lambda o, d, t: traverse.intersect_any_brute(geom, o, d, t)
     else:
-        closest = lambda o, d: traverse.intersect_closest(geom, o, d)
+        closest = lambda o, d, t: traverse.intersect_closest(geom, o, d, t)
         any_hit = lambda o, d, t: traverse.intersect_any(geom, o, d, t)
 
     shape = jnp.shape(ray.direction.x)
@@ -98,7 +105,8 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         rng_state = s["state"]
 
         s["rays"] = s["rays"] + jnp.sum(alive.astype(jnp.float32))
-        hit = closest(o, d)
+        # dead lanes get a negative t_max -> single-iteration traversal exit
+        hit = closest(o, d, jnp.where(alive, 1e30, -1.0))
         live_hit = alive & hit.hit
 
         # -- bounce-0 G-buffer export (path_logic.cuh:798-808) --------------
@@ -163,11 +171,13 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
                 rng_state, l_nee, pdf_nee, (nee_d, nee_s) = (
                     sample_direct_lighting(
                         rng_state, hit.point, hit.normal, hit.front_face, mat,
-                        d, lights, n_lights, any_hit, split=True))
+                        d, lights, n_lights, any_hit, split=True,
+                        active=do_nee))
             else:
                 rng_state, l_nee, pdf_nee, nee_c = sample_direct_lighting(
                     rng_state, hit.point, hit.normal, hit.front_face, mat,
-                    d, lights, n_lights, any_hit, split=False)
+                    d, lights, n_lights, any_hit, split=False,
+                    active=do_nee)
             pdf_brdf = material_pdf(hit.normal, hit.front_face, mat, -d, l_nee)
             w = mis_weight(pdf_nee, pdf_brdf)
             gate = do_nee & (pdf_nee > 0.0)
@@ -216,7 +226,12 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         s["bounce"] = bounce + 1
         return s
 
-    out = jax.lax.while_loop(cond, body, init)
+    if unroll:
+        out = init
+        for _ in range(max_depth):
+            out = body(out)
+    else:
+        out = jax.lax.while_loop(cond, body, init)
 
     radiance = clamp_vector_soft(out["accum"], MAX_FINAL_RADIANCE)
     return out["state"], PathOutput(

@@ -86,10 +86,15 @@ def sample_light(state, lights: LightTable, n_lights: int, point: Vec3):
 
 def sample_direct_lighting(state, point: Vec3, normal: Vec3, front_face, mat,
                            ray_dir: Vec3, lights: LightTable, n_lights: int,
-                           any_hit_fn, split: bool = False):
+                           any_hit_fn, split: bool = False, active=None):
     """One-sample NEE estimate (``path_logic.cuh:305-393`` / ``:395-488``).
 
     ``any_hit_fn(origin, direction, t_max) -> bool`` is the shadow traversal.
+    ``active`` masks lanes that actually need NEE: inactive lanes get a
+    negative t_max so their shadow rays exit traversal in one iteration —
+    without this, dead lanes carry garbage hit points (o + d*1e30) whose
+    shadow rays walk the ENTIRE tree (every AABB passes, no triangle can
+    numerically hit), serializing the whole wavefront.
     Returns (state, L, pdf, contribution) with contribution a Vec3 (or a
     (diffuse, specular) pair when ``split``).
     """
@@ -99,7 +104,10 @@ def sample_direct_lighting(state, point: Vec3, normal: Vec3, front_face, mat,
 
     offset = where(normal.dot(l) > 0.0, normal * 1e-4, normal * -1e-4)
     shadow_o = point + offset
-    in_shadow = any_hit_fn(shadow_o, l, dist - 1e-3)
+    shadow_t = dist - 1e-3
+    if active is not None:
+        shadow_t = jnp.where(active, shadow_t, -1.0)
+    in_shadow = any_hit_fn(shadow_o, l, shadow_t)
 
     lit = jnp.logical_not(in_shadow) & (pdf_sample > 0.0)
     scale = att / jnp.maximum(pdf_sample, 1e-12)

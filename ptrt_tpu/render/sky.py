@@ -25,9 +25,11 @@ class SkyConfig:
     bottom: Vec3
     use_sky: jnp.ndarray  # float 0/1 multiplier
     env: Optional[jnp.ndarray] = None  # (H, W, 3) linear HDR
+    env_rotation: jnp.ndarray = 0.0  # radians, yaw around +y
 
     def tree_flatten(self):
-        return (self.top, self.bottom, self.use_sky, self.env), None
+        return (self.top, self.bottom, self.use_sky, self.env,
+                self.env_rotation), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -49,10 +51,11 @@ class SkyConfig:
         )
 
     @staticmethod
-    def hdri(env_map) -> "SkyConfig":
+    def hdri(env_map, rotation: float = 0.0) -> "SkyConfig":
         return SkyConfig(
             top=Vec3.full(jnp.float32(0.0)), bottom=Vec3.full(jnp.float32(0.0)),
             use_sky=jnp.float32(1.0), env=jnp.asarray(env_map, jnp.float32),
+            env_rotation=jnp.float32(rotation),
         )
 
 
@@ -64,9 +67,9 @@ def sample_sky(dir: Vec3, sky: SkyConfig) -> Vec3:
         return c * sky.use_sky
 
     h, w = sky.env.shape[0], sky.env.shape[1]
-    phi = jnp.arctan2(dir.z, dir.x)
+    phi = jnp.arctan2(dir.z, dir.x) + sky.env_rotation
     theta = jnp.arccos(jnp.clip(dir.y, -1.0, 1.0))
-    u = (phi + PI) * (1.0 / TWO_PI)
+    u = jnp.mod((phi + PI) * (1.0 / TWO_PI), 1.0)
     v = theta * (1.0 / PI)
 
     # bilinear fetch with wrap in u, clamp in v

@@ -112,12 +112,16 @@ def _i32(col: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fetch_node(geom: SceneGeometry, nidx):
-    row = jnp.take(geom.node_rows, nidx, axis=0)  # (R, 8)
-    bmin = Vec3(row[..., 0], row[..., 1], row[..., 2])
-    bmax = Vec3(row[..., 3], row[..., 4], row[..., 5])
-    leaf_block = _i32(row[..., 6])
-    skip = _i32(row[..., 7])
-    return bmin, bmax, leaf_block, skip
+    """Child-test node row: both children's AABBs + links, one gather."""
+    row = jnp.take(geom.node_rows, nidx, axis=0)  # (R, 16)
+    lbb_min = Vec3(row[..., 0], row[..., 1], row[..., 2])
+    lbb_max = Vec3(row[..., 3], row[..., 4], row[..., 5])
+    rbb_min = Vec3(row[..., 6], row[..., 7], row[..., 8])
+    rbb_max = Vec3(row[..., 9], row[..., 10], row[..., 11])
+    child_r = _i32(row[..., 12])
+    skip = _i32(row[..., 13])
+    leaf_block = _i32(row[..., 14])
+    return lbb_min, lbb_max, rbb_min, rbb_max, child_r, skip, leaf_block
 
 
 def _fetch_leaf(geom: SceneGeometry, leaf_block):
@@ -163,14 +167,13 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
         node = s["node"]
         active = node < n_nodes
         nidx = jnp.minimum(node, n_nodes - 1)
-        bmin, bmax, leaf_block, skip = _fetch_node(geom, nidx)
-
-        box_hit = _slab_test(bmin, bmax, o, inv_d, s["t"]) & active
+        (lbb_min, lbb_max, rbb_min, rbb_max, child_r, skip,
+         leaf_block) = _fetch_node(geom, nidx)
         is_leaf = leaf_block >= 0
-        test_leaf = box_hit & is_leaf
 
         best_t, best_u, best_v = s["t"], s["u"], s["v"]
         best_nrm, best_mesh = s["nrm"], s["mesh"]
+        test_leaf = active & is_leaf
         for v0, e1, e2, mesh_id, _ in _fetch_leaf(geom, leaf_block):
             ok, t, uu, vv = _mt_test(v0, e1, e2, o, d, T_MIN, best_t)
             ok = ok & test_leaf & (mesh_id >= 0)
@@ -181,8 +184,12 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
             best_v = jnp.where(ok, vv, best_v)
             best_t = jnp.where(ok, t, best_t)
 
-        descend = box_hit & jnp.logical_not(is_leaf)
-        node = jnp.where(descend, node + 1, skip)
+        # both children tested at the parent; missed children never visited
+        lh = _slab_test(lbb_min, lbb_max, o, inv_d, best_t)
+        rh = _slab_test(rbb_min, rbb_max, o, inv_d, best_t)
+        node = jnp.where(
+            is_leaf, skip,
+            jnp.where(lh, node + 1, jnp.where(rh, child_r, skip)))
         node = jnp.where(active, node, n_nodes)
         return dict(node=node, t=best_t, u=best_u, v=best_v, nrm=best_nrm,
                     mesh=best_mesh)
@@ -220,18 +227,20 @@ def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
         node, hit = state
         active = (node < n_nodes) & jnp.logical_not(hit)
         nidx = jnp.minimum(node, n_nodes - 1)
-        bmin, bmax, leaf_block, skip = _fetch_node(geom, nidx)
-
-        box_hit = _slab_test(bmin, bmax, o, inv_d, t_max) & active
+        (lbb_min, lbb_max, rbb_min, rbb_max, child_r, skip,
+         leaf_block) = _fetch_node(geom, nidx)
         is_leaf = leaf_block >= 0
-        test_leaf = box_hit & is_leaf
+        test_leaf = active & is_leaf
 
         for v0, e1, e2, mesh_id, opaque in _fetch_leaf(geom, leaf_block):
             ok, _, _, _ = _mt_test(v0, e1, e2, o, d, T_MIN, t_max)
             hit = hit | (ok & test_leaf & opaque & (mesh_id >= 0))
 
-        descend = box_hit & jnp.logical_not(is_leaf)
-        node = jnp.where(descend, node + 1, skip)
+        lh = _slab_test(lbb_min, lbb_max, o, inv_d, t_max)
+        rh = _slab_test(rbb_min, rbb_max, o, inv_d, t_max)
+        node = jnp.where(
+            is_leaf, skip,
+            jnp.where(lh, node + 1, jnp.where(rh, child_r, skip)))
         node = jnp.where(active, node, n_nodes)
         return node, hit
 

@@ -169,10 +169,12 @@ class Scene:
         self.use_sky = enabled
         self.reset_accumulation()
 
-    def set_environment_map(self, env: np.ndarray) -> None:
+    def set_environment_map(self, env: np.ndarray,
+                            rotation: float = 0.0) -> None:
         """(H, W, 3) linear HDR equirect array (HDRI path of
         ``scene.cuh:958-1026``; decoding lives in utils/hdr.py)."""
         self.env_map = np.asarray(env, np.float32)
+        self.env_rotation = float(rotation)
         self.reset_accumulation()
 
     # -- settings ------------------------------------------------------------
@@ -274,7 +276,8 @@ class Scene:
 
     def _sky(self) -> SkyConfig:
         if self.env_map is not None:
-            sky = SkyConfig.hdri(self.env_map)
+            sky = SkyConfig.hdri(self.env_map,
+                                 getattr(self, "env_rotation", 0.0))
             return dataclasses.replace(
                 sky, use_sky=jnp.float32(1.0 if self.use_sky else 0.0))
         sky = SkyConfig.gradient(self.sky_color_top, self.sky_color_bottom)

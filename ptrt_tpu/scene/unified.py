@@ -763,6 +763,14 @@ def _make_mesh(desc: UnifiedMeshDesc) -> Mesh:
         return Mesh.cube()
     if desc.type == MeshType.PlaneXZ:
         return Mesh.plane_xz(desc.plane_y, desc.plane_half_size)
+    if desc.type == MeshType.PlaneXY:
+        m = Mesh.plane_xz(0.0, desc.plane_half_size)
+        m.rotate_self_euler_xyz(math.pi / 2, 0.0, 0.0)
+        return m.translate_verts(0.0, 0.0, desc.plane_y)
+    if desc.type == MeshType.PlaneYZ:
+        m = Mesh.plane_xz(0.0, desc.plane_half_size)
+        m.rotate_self_euler_xyz(0.0, 0.0, math.pi / 2)
+        return m.translate_verts(desc.plane_y, 0.0, 0.0)
     if desc.type == MeshType.Sphere:
         return Mesh.sphere(desc.sphere_segments)
     if desc.type == MeshType.Triangles:
@@ -828,7 +836,8 @@ class UnifiedSceneBuilder:
             from ptrt_tpu.utils.hdr import load_hdr
 
             scene.set_environment_map(
-                load_hdr(unified.sky.hdri_path) * unified.sky.hdri_intensity)
+                load_hdr(unified.sky.hdri_path) * unified.sky.hdri_intensity,
+                rotation=unified.sky.hdri_rotation)
         elif unified.sky.enabled:
             scene.set_sky_gradient(unified.sky.top_color,
                                    unified.sky.bottom_color)
