@@ -140,39 +140,46 @@ def _fetch_leaf(geom: SceneGeometry, leaf_block):
 
 # -- BVH path ---------------------------------------------------------------
 
+# Two-pass compacted traversal: the lock-step while pays the SLOWEST lane
+# (measured: mean 8 node visits vs max 100-3000), so pass 1 runs at most
+# PASS1_CAP iterations over the full wavefront (covering ~p99 of lanes),
+# then the few unfinished lanes are compacted into a buffer 1/COMPACT_SHRINK
+# the size and run to completion there — gather cost is per-index, so the
+# tail lanes cost SHRINK-times less per iteration.  Pass 1 keeps looping if
+# the unfinished count would overflow the small buffer, so results are
+# EXACT.  Batches below MIN_COMPACT_LANES skip the machinery.
+PASS1_CAP = 48
+COMPACT_SHRINK = 8
+MIN_COMPACT_LANES = 16384
 
-def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
-                      t_max=T_MAX) -> Hit:
-    """Closest-hit over the wavefront (``traceRay``,
-    ``intersection.cuh:526-605``)."""
-    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x))
-    o = o.broadcast_to(shape)
-    d = d.broadcast_to(shape)
-    inv_d = _safe_inv(d)
+
+def _closest_loop(geom, o, d, state, pass1_cap):
+    """Run the closest-hit walk; ``pass1_cap`` of None = to completion.
+    state = (node, t, u, v, nrm, mesh)."""
     n_nodes = geom.num_nodes
+    inv_d = _safe_inv(d)
 
-    state0 = dict(
-        node=jnp.zeros(shape, jnp.int32),
-        t=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape),
-        u=jnp.zeros(shape, jnp.float32),
-        v=jnp.zeros(shape, jnp.float32),
-        nrm=Vec3.zeros(shape),
-        mesh=jnp.full(shape, -1, jnp.int32),
-    )
+    def cond_full(s):
+        return jnp.any(s[0]["node"] < n_nodes)
 
-    def cond(s):
-        return jnp.any(s["node"] < n_nodes)
+    def cond_capped(s):
+        st, k = s
+        active = st["node"] < n_nodes
+        n_active = jnp.sum(active.astype(jnp.int32))
+        cap = jnp.size(st["node"]) // COMPACT_SHRINK
+        return jnp.any(active) & ((k < pass1_cap) | (n_active > cap))
 
     def body(s):
-        node = s["node"]
+        st, k = s
+        node = st["node"]
         active = node < n_nodes
         nidx = jnp.minimum(node, n_nodes - 1)
         (lbb_min, lbb_max, rbb_min, rbb_max, child_r, skip,
          leaf_block) = _fetch_node(geom, nidx)
         is_leaf = leaf_block >= 0
 
-        best_t, best_u, best_v = s["t"], s["u"], s["v"]
-        best_nrm, best_mesh = s["nrm"], s["mesh"]
+        best_t, best_u, best_v = st["t"], st["u"], st["v"]
+        best_nrm, best_mesh = st["nrm"], st["mesh"]
         test_leaf = active & is_leaf
         for v0, e1, e2, mesh_id, _ in _fetch_leaf(geom, leaf_block):
             ok, t, uu, vv = _mt_test(v0, e1, e2, o, d, T_MIN, best_t)
@@ -191,10 +198,60 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
             is_leaf, skip,
             jnp.where(lh, node + 1, jnp.where(rh, child_r, skip)))
         node = jnp.where(active, node, n_nodes)
-        return dict(node=node, t=best_t, u=best_u, v=best_v, nrm=best_nrm,
-                    mesh=best_mesh)
+        return (dict(node=node, t=best_t, u=best_u, v=best_v, nrm=best_nrm,
+                     mesh=best_mesh), k + 1)
 
-    s = jax.lax.while_loop(cond, body, state0)
+    if pass1_cap is None:
+        out, _ = jax.lax.while_loop(
+            lambda s: cond_full(s), body, (state, jnp.int32(0)))
+    else:
+        out, _ = jax.lax.while_loop(cond_capped, body, (state, jnp.int32(0)))
+    return out
+
+
+def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
+                      t_max=T_MAX) -> Hit:
+    """Closest-hit over the wavefront (``traceRay``,
+    ``intersection.cuh:526-605``)."""
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x))
+    o = o.broadcast_to(shape)
+    d = d.broadcast_to(shape)
+    n_nodes = geom.num_nodes
+    total = 1
+    for sdim in shape:
+        total *= sdim
+
+    state0 = dict(
+        node=jnp.zeros(shape, jnp.int32),
+        t=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape),
+        u=jnp.zeros(shape, jnp.float32),
+        v=jnp.zeros(shape, jnp.float32),
+        nrm=Vec3.zeros(shape),
+        mesh=jnp.full(shape, -1, jnp.int32),
+    )
+
+    if total < MIN_COMPACT_LANES:
+        s = _closest_loop(geom, o, d, state0, None)
+    else:
+        # pass 1 over the full wavefront
+        s = _closest_loop(geom, o, d, state0, PASS1_CAP)
+        # compact the unfinished tail into a small buffer
+        flat = jax.tree_util.tree_map(lambda a: a.reshape(total), s)
+        o_f = o.map(lambda c: c.reshape(total))
+        d_f = d.map(lambda c: c.reshape(total))
+        small_n = total // COMPACT_SHRINK
+        unfinished = flat["node"] < n_nodes
+        perm = jnp.argsort(jnp.logical_not(unfinished),
+                           stable=True)[:small_n]
+        take = lambda a: jnp.take(a, perm, axis=0)
+        small = jax.tree_util.tree_map(take, flat)
+        o_s = o_f.map(take)
+        d_s = d_f.map(take)
+        small = _closest_loop(geom, o_s, d_s, small, None)
+        # scatter tail results back
+        upd = lambda full, sm: full.at[perm].set(sm)
+        s = jax.tree_util.tree_map(upd, flat, small)
+        s = jax.tree_util.tree_map(lambda a: a.reshape(shape), s)
 
     found = s["mesh"] >= 0
     n = s["nrm"].normalized(1e-30)
@@ -207,24 +264,26 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
     )
 
 
-def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
-                  t_max) -> jnp.ndarray:
-    """Shadow any-hit; skips transmissive occluders,
-    matching ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``)."""
-    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
-                                 jnp.shape(t_max))
-    o = o.broadcast_to(shape)
-    d = d.broadcast_to(shape)
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
-    inv_d = _safe_inv(d)
+def _any_loop(geom, o, d, t_max, state, pass1_cap):
     n_nodes = geom.num_nodes
+    inv_d = _safe_inv(d)
 
-    def cond(state):
-        node, hit = state
-        return jnp.any((node < n_nodes) & jnp.logical_not(hit))
+    def active_of(s):
+        node, hit = s
+        return (node < n_nodes) & jnp.logical_not(hit)
 
-    def body(state):
-        node, hit = state
+    def cond_full(s):
+        return jnp.any(active_of(s[0]))
+
+    def cond_capped(s):
+        st, k = s
+        act = active_of(st)
+        n_active = jnp.sum(act.astype(jnp.int32))
+        cap = jnp.size(st[0]) // COMPACT_SHRINK
+        return jnp.any(act) & ((k < pass1_cap) | (n_active > cap))
+
+    def body(s):
+        (node, hit), k = s
         active = (node < n_nodes) & jnp.logical_not(hit)
         nidx = jnp.minimum(node, n_nodes - 1)
         (lbb_min, lbb_max, rbb_min, rbb_max, child_r, skip,
@@ -242,11 +301,51 @@ def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
             is_leaf, skip,
             jnp.where(lh, node + 1, jnp.where(rh, child_r, skip)))
         node = jnp.where(active, node, n_nodes)
-        return node, hit
+        return (node, hit), k + 1
 
-    _, hit = jax.lax.while_loop(
-        cond, body, (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool)))
-    return hit
+    if pass1_cap is None:
+        out, _ = jax.lax.while_loop(cond_full, body, (state, jnp.int32(0)))
+    else:
+        out, _ = jax.lax.while_loop(cond_capped, body, (state, jnp.int32(0)))
+    return out
+
+
+def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
+                  t_max) -> jnp.ndarray:
+    """Shadow any-hit; skips transmissive occluders,
+    matching ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``)."""
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
+                                 jnp.shape(t_max))
+    o = o.broadcast_to(shape)
+    d = d.broadcast_to(shape)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    n_nodes = geom.num_nodes
+    total = 1
+    for sdim in shape:
+        total *= sdim
+
+    state0 = (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool))
+
+    if total < MIN_COMPACT_LANES:
+        _, hit = _any_loop(geom, o, d, t_max, state0, None)
+        return hit
+
+    node, hit = _any_loop(geom, o, d, t_max, state0, PASS1_CAP)
+    node_f = node.reshape(total)
+    hit_f = hit.reshape(total)
+    o_f = o.map(lambda c: c.reshape(total))
+    d_f = d.map(lambda c: c.reshape(total))
+    t_f = t_max.reshape(total)
+    small_n = total // COMPACT_SHRINK
+    unfinished = (node_f < n_nodes) & jnp.logical_not(hit_f)
+    perm = jnp.argsort(jnp.logical_not(unfinished), stable=True)[:small_n]
+    take = lambda a: jnp.take(a, perm, axis=0)
+    o_s = o_f.map(take)
+    d_s = d_f.map(take)
+    node_s, hit_s = _any_loop(geom, o_s, d_s, take(t_f),
+                              (take(node_f), take(hit_f)), None)
+    hit_f = hit_f.at[perm].set(hit_s)
+    return hit_f.reshape(shape)
 
 
 # -- brute-force path (small scenes; gather-free) ---------------------------
