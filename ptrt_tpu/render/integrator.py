@@ -52,15 +52,22 @@ class PathOutput(NamedTuple):
 
 def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
                ray: RayBatch, state, max_depth: int, split: bool = False,
-               use_brute: bool = False, unroll: bool = True) -> tuple:
+               use_brute: bool = False, unroll: bool | None = None,
+               rr_enabled: bool = True,
+               rr_start: int = RUSSIAN_ROULETTE_START_BOUNCE) -> tuple:
     """Trace the wavefront to completion. Returns (rng_state, PathOutput).
 
     ``unroll=True`` expands the bounce loop statically (a Python loop of
-    ``max_depth`` bodies) instead of a ``lax.while_loop``: measured on TPU,
-    traversal gathers inside a NESTED while run ~5x slower than the same
-    gathers at one loop level, so unrolling the outer loop is a large win;
-    it also lets XLA skip whole bounces only when every lane is dead.
+    ``max_depth`` bodies) instead of a ``lax.while_loop``; default unrolls
+    shallow loops (compile size) and keeps ``lax.while_loop`` for deep ones
+    (ultra preset depth 32).
+
+    ``rr_enabled``/``rr_start`` surface the reference's PerformanceSettings
+    RR toggles (``scene.cuh:196-198``; note the reference kernel hardcodes
+    start=2, ``path_logic.cuh:24`` — we honor the setting).
     """
+    if unroll is None:
+        unroll = max_depth <= 8
     if use_brute:
         closest = lambda o, d, t: traverse.intersect_closest_brute(geom, o, d, t)
         any_hit = lambda o, d, t: traverse.intersect_any_brute(geom, o, d, t)
@@ -205,7 +212,7 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         rng_state, u_rr = prng.uniform(rng_state)
         p = jnp.clip(throughput.max_component(), RUSSIAN_ROULETTE_MIN_PROB,
                      0.95)
-        rr_on = bounce >= RUSSIAN_ROULETTE_START_BOUNCE
+        rr_on = (bounce >= rr_start) if rr_enabled else jnp.asarray(False)
         killed = rr_on & (u_rr > p)
         alive = alive & jnp.logical_not(killed)
         throughput = where(rr_on & alive, throughput / p, throughput)

@@ -46,7 +46,8 @@ class FrameBuffers(NamedTuple):
 def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
                 rng_state, frame_index, width: int, height: int, spp: int,
                 max_depth: int, split: bool, use_brute: bool,
-                blue_noise_tbl) -> tuple:
+                blue_noise_tbl, rr_enabled: bool = True,
+                rr_start: int = 2) -> tuple:
     """``path_trace_kernel`` equivalent (``scene_kernels.cuh:120-194``):
     spp-loop of jittered primary rays through the wavefront integrator.
 
@@ -64,7 +65,8 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
         state, ray = camera.get_ray(sg, tg, state)
         state, out = trace_path(geom, materials, lights, n_lights, sky, ray,
                                 state, max_depth, split=split,
-                                use_brute=use_brute)
+                                use_brute=use_brute, rr_enabled=rr_enabled,
+                                rr_start=rr_start)
         acc_color, acc_d, acc_s, acc_e, rays, first = acc
         acc_color = acc_color + out.radiance
         acc_d = acc_d + out.diffuse

@@ -307,6 +307,8 @@ class Scene:
             bool(self.perf.enable_denoiser), bool(self.perf.enable_bloom),
             len(self.lights), self._use_brute(),
             self.env_map is not None,
+            bool(self.perf.enable_russian_roulette),
+            int(self.perf.russian_roulette_start_bounce),
         )
         rgb8, self._rng_state, self._denoiser_state = fn(
             self._geom, self._mat_table, self._light_table, self._sky(),
@@ -437,9 +439,9 @@ def _trace_only(rw, rh, spp, depth, n_lights, use_brute, has_env):
 
 
 def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
-                   n_lights, use_brute, has_env):
+                   n_lights, use_brute, has_env, rr_enabled=True, rr_start=2):
     key = (rw, rh, full_w, full_h, spp, depth, denoise, bloom, n_lights,
-           use_brute, has_env)
+           use_brute, has_env, rr_enabled, rr_start)
     if key in _frame_cache:
         return _frame_cache[key]
 
@@ -453,7 +455,7 @@ def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
         rng_state, bufs = pl.trace_frame(
             geom, mats, lights, n_lights, sky, camera, rng_state, frame_idx,
             rw, rh, spp, depth, split=denoise, use_brute=use_brute,
-            blue_noise_tbl=bn)
+            blue_noise_tbl=bn, rr_enabled=rr_enabled, rr_start=rr_start)
 
         current = bufs.color
         if denoise:

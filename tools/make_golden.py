@@ -1,0 +1,93 @@
+"""Generate the golden-image corpus + gallery renders.
+
+Goldens (tests/golden/*.png, small, deterministic CPU renders) back the
+regression test in tests/test_golden.py — the automated version of the
+reference's screenshot-based visual QA (SURVEY.md §4).  Gallery renders
+(docs/gallery/) are larger versions for human inspection.
+
+Run: python tools/make_golden.py [--gallery]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/ptrt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(ROOT, "tests", "golden")
+GALLERY_DIR = os.path.join(ROOT, "docs", "gallery")
+
+
+def golden_scenes(w: int, h: int):
+    """Small deterministic scene set. Returns {name: render_fn}."""
+    from ptrt_tpu.scene.unified import (UnifiedSceneBuilder,
+                                        UnifiedScenePresets)
+    from ptrt_tpu.app.demo_scenes import build_scene_by_id
+    from ptrt_tpu.app.rt_demo_scenes import create_cornell_box
+
+    def pt_preset(preset_fn, frames=4, depth=4):
+        def run():
+            u = preset_fn(w, h)
+            sc = UnifiedSceneBuilder.build_pt_scene(u)
+            sc.perf.enable_denoiser = False
+            sc.perf.enable_bloom = False
+            sc.perf.max_bounce_depth = depth
+            sc.perf.samples_per_pixel = 1
+            sc.perf.resolution_scale = 1.0
+            return sc.render_average(frames)
+        return run
+
+    def pt_demo(sid, frames=4):
+        def run():
+            sc, _ = build_scene_by_id(sid, w, h)
+            sc.set_performance_preset("fast")
+            sc.perf.resolution_scale = 1.0
+            sc.perf.max_bounce_depth = 3
+            return sc.render_average(frames)
+        return run
+
+    def rt_cornell():
+        sc = create_cornell_box(w, h)
+        return sc.render_frame()
+
+    return {
+        "metal_demo": pt_preset(UnifiedScenePresets.MetalDemo),
+        "glass_demo": pt_preset(UnifiedScenePresets.GlassDemo),
+        "material_showcase": pt_preset(UnifiedScenePresets.MaterialShowcase),
+        "pt_lit_test": pt_demo(0),
+        "pt_material_matrix": pt_demo(10),
+        "rt_cornell_box": rt_cornell,
+    }
+
+
+def main() -> None:
+    from ptrt_tpu.utils.imageio import save_png
+
+    gallery = "--gallery" in sys.argv
+    if gallery:
+        os.makedirs(GALLERY_DIR, exist_ok=True)
+        for name, fn in golden_scenes(320, 180).items():
+            img = fn()
+            save_png(os.path.join(GALLERY_DIR, f"{name}.png"), img)
+            print("gallery", name, img.shape, img.mean().round(1))
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, fn in golden_scenes(96, 54).items():
+        img = fn()
+        np.savez_compressed(os.path.join(GOLDEN_DIR, f"{name}.npz"),
+                            img=np.asarray(img))
+        save_png(os.path.join(GOLDEN_DIR, f"{name}.png"), img)
+        print("golden", name, img.shape, img.mean().round(1))
+
+
+if __name__ == "__main__":
+    main()
