@@ -70,12 +70,17 @@ def _mt_test(v0: Vec3, e1: Vec3, e2: Vec3, o: Vec3, d: Vec3, t_min, t_max):
     q = cross(s, e1)
     v = f * d.dot(q)
     t = f * e2.dot(q)
+    # small inclusive barycentric epsilon: adjacent triangles overlap by a
+    # hair instead of leaving edge gaps (the reference's exclusive bounds
+    # produce dotted cracks along quad diagonals; closest-t resolves the
+    # overlap, so this stays exact in practice)
+    beps = 1e-6
     ok = (
         valid
-        & (u >= 0.0)
-        & (u <= 1.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
+        & (u >= -beps)
+        & (u <= 1.0 + beps)
+        & (v >= -beps)
+        & (u + v <= 1.0 + beps)
         & (t > t_min)
         & (t < t_max)
     )
