@@ -1,0 +1,152 @@
+"""Post-processing unit tests: denoiser pieces, bloom, motion vectors."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ptrt_tpu.core.vec import Vec3
+from ptrt_tpu.render.bloom import apply_bloom, bright_pass
+from ptrt_tpu.render.denoiser import (DEFAULT_SETTINGS, ChannelHistory,
+                                      DenoiserState, firefly_suppression,
+                                      atrous_iteration, init_denoiser_state,
+                                      temporal_accumulation)
+from ptrt_tpu.render.motion import motion_vectors
+from ptrt_tpu.scene.camera import Camera
+
+
+def _img(h, w, val=0.5):
+    return Vec3.full(jnp.full((h, w), val))
+
+
+def _gbuf(h, w):
+    normal = Vec3(jnp.zeros((h, w)), jnp.zeros((h, w)), jnp.ones((h, w)))
+    depth = jnp.full((h, w), 5.0)
+    obj = jnp.zeros((h, w), jnp.int32)
+    return normal, depth, obj
+
+
+class TestFirefly:
+    def test_clamps_outlier(self):
+        h = w = 16
+        img = Vec3.full(jnp.ones((h, w)) * 0.5)
+        img = Vec3(img.x.at[8, 8].set(100.0), img.y, img.z)
+        normal, depth, _ = _gbuf(h, w)
+        out = firefly_suppression(img, depth, normal, 3.0, 1e9)
+        # outlier clamped to neighborhood max * 1.25
+        assert float(out.x[8, 8]) <= 0.5 * 1.25 + 1e-5
+
+    def test_preserves_flat(self):
+        h = w = 8
+        img = _img(h, w, 0.7)
+        normal, depth, _ = _gbuf(h, w)
+        out = firefly_suppression(img, depth, normal, 3.0, 1e9)
+        assert np.allclose(np.asarray(out.x), 0.7, atol=1e-5)
+
+
+class TestTemporal:
+    def test_static_history_converges(self):
+        """Static scene: history length grows and the blend stabilizes."""
+        h = w = 16
+        normal, depth, obj = _gbuf(h, w)
+        state = init_denoiser_state(h, w)
+        state = DenoiserState(
+            diffuse=state.diffuse, specular=state.specular, normal=normal,
+            depth=depth, object_id=obj, first_frame=jnp.asarray(False))
+        hist = ChannelHistory(mean=_img(h, w, 1.0), m2=_img(h, w, 1.0),
+                              length=jnp.full((h, w), 10.0))
+        mv = (jnp.zeros((h, w)), jnp.zeros((h, w)))
+        cur = _img(h, w, 1.0)
+        out = temporal_accumulation(cur, hist, mv[0], mv[1], depth, normal,
+                                    obj, state, DEFAULT_SETTINGS.diffuse,
+                                    DEFAULT_SETTINGS)
+        assert np.allclose(np.asarray(out.mean.x), 1.0, atol=1e-4)
+        # interior pixels extend history (borders reject by the reference's
+        # reprojection bounds check)
+        assert float(out.length[4:-4, 4:-4].min()) > 10.0
+
+    def test_depth_change_rejects_history(self):
+        h = w = 16
+        normal, depth, obj = _gbuf(h, w)
+        state = init_denoiser_state(h, w)
+        # history recorded at a very different depth
+        state = DenoiserState(
+            diffuse=state.diffuse, specular=state.specular, normal=normal,
+            depth=jnp.full((h, w), 50.0), object_id=obj,
+            first_frame=jnp.asarray(False))
+        hist = ChannelHistory(mean=_img(h, w, 0.0), m2=_img(h, w, 0.0),
+                              length=jnp.full((h, w), 30.0))
+        mv = (jnp.zeros((h, w)), jnp.zeros((h, w)))
+        cur = _img(h, w, 1.0)
+        out = temporal_accumulation(cur, hist, mv[0], mv[1], depth, normal,
+                                    obj, state, DEFAULT_SETTINGS.diffuse,
+                                    DEFAULT_SETTINGS)
+        # rejected history -> output = current, history restarts
+        assert np.allclose(np.asarray(out.mean.x), 1.0, atol=1e-4)
+        assert float(out.length.max()) <= 1.0
+
+
+class TestAtrous:
+    def test_smooths_noise_on_flat_surface(self):
+        h = w = 32
+        rng = np.random.default_rng(0)
+        noisy = Vec3.full(jnp.asarray(
+            (0.5 + 0.2 * rng.standard_normal((h, w))).astype(np.float32)))
+        normal, depth, obj = _gbuf(h, w)
+        var = jnp.full((h, w), 0.04)
+        out, _ = atrous_iteration(noisy, var, depth, normal, obj, 1,
+                                  DEFAULT_SETTINGS.diffuse, DEFAULT_SETTINGS)
+        assert np.asarray(out.x).std() < np.asarray(noisy.x).std() * 0.7
+
+    def test_respects_object_edges(self):
+        h = w = 32
+        img = Vec3.full(jnp.where(jnp.arange(w)[None, :] < 16, 0.0, 1.0)
+                        * jnp.ones((h, 1)))
+        normal, depth, _ = _gbuf(h, w)
+        obj = jnp.where(jnp.arange(w)[None, :] < 16, 0, 1
+                        ) * jnp.ones((h, 1), jnp.int32)
+        var = jnp.full((h, w), 0.01)
+        out, _ = atrous_iteration(img, var, depth, normal, obj, 1,
+                                  DEFAULT_SETTINGS.diffuse, DEFAULT_SETTINGS)
+        # no bleed across the object-id edge
+        assert float(out.x[:, :15].max()) < 1e-4
+        assert float(out.x[:, 17:].min()) > 1.0 - 1e-4
+
+
+class TestBloom:
+    def test_bright_pass_threshold(self):
+        img = Vec3.full(jnp.array([[0.5, 3.0]], jnp.float32))
+        out = bright_pass(img, threshold=1.5, knee=0.5)
+        assert float(out.x[0, 0]) == 0.0
+        assert float(out.x[0, 1]) == 3.0
+
+    def test_bloom_spreads_highlight(self):
+        h = w = 64
+        img = Vec3.full(jnp.zeros((h, w)))
+        img = Vec3(img.x.at[32, 32].set(50.0),
+                   img.y.at[32, 32].set(50.0),
+                   img.z.at[32, 32].set(50.0))
+        out = apply_bloom(img)
+        # energy appears away from the point
+        assert float(out.x[32, 40]) > 0.0
+        assert float(out.x[32, 32]) >= 50.0  # original + bloom
+
+
+class TestMotionVectors:
+    def test_static_camera_zero_motion(self):
+        cam = Camera.make((0, 0, 0), (0, 0, 5), aspect_ratio=2.0)
+        depth = jnp.full((16, 32), 5.0)
+        mx, my = motion_vectors(depth, cam, cam.get_view_proj(), 32, 16)
+        assert np.allclose(np.asarray(mx), 0.0, atol=1e-4)
+        assert np.allclose(np.asarray(my), 0.0, atol=1e-4)
+
+    def test_translated_camera_nonzero(self):
+        cam0 = Camera.make((0, 0, 0), (0, 0, 5), aspect_ratio=2.0)
+        cam1 = Camera.make((0.5, 0, 0), (0.5, 0, 5), aspect_ratio=2.0)
+        depth = jnp.full((16, 32), 5.0)
+        mx, my = motion_vectors(depth, cam1, cam0.get_view_proj(), 32, 16)
+        assert float(np.abs(np.asarray(mx)).max()) > 1e-3
+
+    def test_sky_zero(self):
+        cam = Camera.make((0, 0, 0), (0, 0, 5), aspect_ratio=2.0)
+        depth = jnp.full((16, 32), 1e30)
+        mx, my = motion_vectors(depth, cam, cam.get_view_proj(), 32, 16)
+        assert np.allclose(np.asarray(mx), 0.0)
