@@ -301,6 +301,13 @@ class Scene:
     def render_frame_device(self):
         self._ensure_device_state()
         rh, rw = self.render_size
+        # pre-initialize denoiser state so frame 1 and frame 2+ share ONE
+        # compiled program (a None state on frame 1 would retrace and
+        # recompile the whole frame program on frame 2)
+        if self.perf.enable_denoiser and self._denoiser_state is None:
+            from ptrt_tpu.render.denoiser import init_denoiser_state
+
+            self._denoiser_state = init_denoiser_state(rh, rw)
         fn = _frame_program(
             rw, rh, self.width, self.height,
             self.perf.samples_per_pixel, self.perf.max_bounce_depth,
