@@ -55,20 +55,3 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda leaf: jax.device_put(jax.numpy.asarray(leaf),
                                     NamedSharding(mesh, P())), tree)
-
-
-def sharded_frame_fn(mesh: Mesh, frame_fn):
-    """Wrap a frame function so its per-pixel inputs/outputs are sharded.
-
-    ``frame_fn(rng_state, *replicated_args) -> (rgb8, rng_state)`` with
-    rng_state shaped (H, W).  The caller passes an rng_state already placed
-    via ``shard_pixels``; jit propagates the sharding through the whole
-    program.
-    """
-
-    jitted = jax.jit(frame_fn)
-
-    def run(rng_state, *args):
-        return jitted(rng_state, *args)
-
-    return run
