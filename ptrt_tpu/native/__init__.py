@@ -67,6 +67,19 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.ptrt_bvh8_build.restype = ctypes.c_int64
+        lib.ptrt_bvh8_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ptrt_bvh8_fetch.restype = None
+        lib.ptrt_bvh8_fetch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -100,3 +113,41 @@ def native_build_bvh(tmin: np.ndarray, tmax: np.ndarray, cent: np.ndarray,
         skip.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return bmin, bmax, leaf_first, skip, order
+
+
+def native_build_bvh8(tmin: np.ndarray, tmax: np.ndarray, cent: np.ndarray,
+                      leaf_size: int):
+    """Run the native 8-wide builder.  Returns (slot_bmin (N,8,3),
+    slot_bmax (N,8,3), child_base, leaf_base, leaf_count, int_count, order,
+    max_depth) or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = tmin.shape[0]
+    tmin = np.ascontiguousarray(tmin, np.float32)
+    tmax = np.ascontiguousarray(tmax, np.float32)
+    cent = np.ascontiguousarray(cent, np.float32)
+    order_len = ctypes.c_int64(0)
+    max_depth = ctypes.c_int32(0)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    nw = lib.ptrt_bvh8_build(
+        tmin.ctypes.data_as(fp), tmax.ctypes.data_as(fp),
+        cent.ctypes.data_as(fp), n, leaf_size, ctypes.byref(order_len),
+        ctypes.byref(max_depth))
+    if nw <= 0:
+        return None
+    slot_bmin = np.empty((nw, 8, 3), np.float32)
+    slot_bmax = np.empty((nw, 8, 3), np.float32)
+    child_base = np.empty(nw, np.int32)
+    leaf_base = np.empty(nw, np.int32)
+    leaf_count = np.empty(nw, np.int32)
+    int_count = np.empty(nw, np.int32)
+    order = np.empty(order_len.value, np.int64)
+    lib.ptrt_bvh8_fetch(
+        slot_bmin.ctypes.data_as(fp), slot_bmax.ctypes.data_as(fp),
+        child_base.ctypes.data_as(ip), leaf_base.ctypes.data_as(ip),
+        leaf_count.ctypes.data_as(ip), int_count.ctypes.data_as(ip),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return (slot_bmin, slot_bmax, child_base, leaf_base, leaf_count,
+            int_count, order, int(max_depth.value))

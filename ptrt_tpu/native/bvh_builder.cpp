@@ -185,6 +185,111 @@ void assign_skip(BuildCtx &ctx, int root, int after) {
 
 BuildCtx *g_last = nullptr;
 
+// ---------------------------------------------------------------------------
+// 8-wide BVH: binary SAH tree collapsed to branching factor 8.
+//
+// Wide layout contract (consumed by ptrt_tpu/geometry/bvh8.py and the
+// lock-step mask-stack traversal in render/traverse.py):
+//   * each wide node's LEAF children occupy slots [0, leaf_count) and their
+//     triangle blocks are CONTIGUOUS rows [leaf_base, leaf_base+leaf_count)
+//     of the tri-row table (so tri row = leaf_base + slot);
+//   * each wide node's INTERNAL children occupy slots
+//     [leaf_count, leaf_count+int_count) and are CONTIGUOUS wide-node ids
+//     [child_base, child_base+int_count) (so node id = child_base + slot -
+//     leaf_count — a single (base, slot) addressing scheme per table, which
+//     is what lets traversal keep only a (base, bitmask) pair per stack
+//     entry instead of 8 child pointers).
+// ---------------------------------------------------------------------------
+
+struct Wide8Ctx {
+    std::vector<float> slot_bmin, slot_bmax;  // (nw, 8, 3)
+    std::vector<int32_t> child_base, leaf_base;
+    std::vector<int32_t> leaf_count, int_count;
+    std::vector<int64_t> order;  // tri slots in wide leaf-block layout
+    int32_t max_depth = 0;
+};
+
+Wide8Ctx *g_wide = nullptr;
+
+void emit_wide(const BuildCtx &bin, Wide8Ctx &w, int wide_id, int bin_node,
+               int leaf_size, int depth) {
+    w.max_depth = std::max(w.max_depth, depth);
+    // gather up to 8 subtree roots under bin_node, greedily expanding the
+    // internal member with the largest surface area (classic BVH8 collapse)
+    int members[8];
+    int count = 0;
+    if (bin.left_child[bin_node] < 0) {
+        members[count++] = bin_node;  // degenerate: root itself is a leaf
+    } else {
+        members[count++] = bin.left_child[bin_node];
+        members[count++] = bin.right_child[bin_node];
+        while (count < 8) {
+            int best = -1;
+            float best_area = -1.0f;
+            for (int i = 0; i < count; ++i) {
+                const int m = members[i];
+                if (bin.left_child[m] < 0) continue;  // leaf
+                Box b;
+                b.grow(&bin.bmin[m * 3], &bin.bmax[m * 3]);
+                const float area = b.half_area();
+                if (area > best_area) {
+                    best_area = area;
+                    best = i;
+                }
+            }
+            if (best < 0) break;  // all leaves
+            const int m = members[best];
+            members[best] = bin.left_child[m];
+            members[count++] = bin.right_child[m];
+        }
+    }
+
+    // order: leaves first (slots 0..nl-1), internals after
+    int leaves[8], internals[8];
+    int nl = 0, ni = 0;
+    for (int i = 0; i < count; ++i) {
+        if (bin.left_child[members[i]] < 0) leaves[nl++] = members[i];
+        else internals[ni++] = members[i];
+    }
+
+    const int32_t lbase =
+        static_cast<int32_t>(w.order.size() / leaf_size);
+    for (int i = 0; i < nl; ++i) {
+        const int32_t first = bin.leaf_first[leaves[i]];
+        for (int k = 0; k < leaf_size; ++k)
+            w.order.push_back(bin.order[first + k]);
+    }
+    // reserve ni contiguous wide ids for internal children
+    const int32_t cbase = static_cast<int32_t>(w.child_base.size());
+    for (int i = 0; i < ni; ++i) {
+        w.slot_bmin.insert(w.slot_bmin.end(), 24, 0.0f);
+        w.slot_bmax.insert(w.slot_bmax.end(), 24, -1.0f);
+        w.child_base.push_back(0);
+        w.leaf_base.push_back(0);
+        w.leaf_count.push_back(0);
+        w.int_count.push_back(0);
+    }
+
+    // fill this node's slots
+    float *bmn = &w.slot_bmin[static_cast<size_t>(wide_id) * 24];
+    float *bmx = &w.slot_bmax[static_cast<size_t>(wide_id) * 24];
+    for (int s = 0; s < 8; ++s) {
+        const int m = s < nl ? leaves[s]
+                             : (s < nl + ni ? internals[s - nl] : -1);
+        for (int a = 0; a < 3; ++a) {
+            bmn[s * 3 + a] = m >= 0 ? bin.bmin[m * 3 + a] : 0.0f;
+            bmx[s * 3 + a] = m >= 0 ? bin.bmax[m * 3 + a] : -1.0f;
+        }
+    }
+    w.child_base[wide_id] = cbase;
+    w.leaf_base[wide_id] = lbase;
+    w.leaf_count[wide_id] = nl;
+    w.int_count[wide_id] = ni;
+
+    for (int i = 0; i < ni; ++i)
+        emit_wide(bin, w, cbase + i, internals[i], leaf_size, depth + 1);
+}
+
 }  // namespace
 
 extern "C" {
@@ -208,6 +313,74 @@ int64_t ptrt_bvh_build(const float *tmin, const float *tmax, const float *cent,
     }
     *order_len = static_cast<int64_t>(g_last->order.size());
     return static_cast<int64_t>(g_last->leaf_first.size());
+}
+
+// Builds the 8-wide BVH (binary SAH collapsed).  Returns the number of wide
+// nodes (>= 1); order_len receives the padded tri-slot count in wide layout,
+// max_depth the deepest wide-node level (for traversal stack sizing).
+int64_t ptrt_bvh8_build(const float *tmin, const float *tmax,
+                        const float *cent, int64_t n, int32_t leaf_size,
+                        int64_t *order_len, int32_t *max_depth) {
+    delete g_last;
+    g_last = new BuildCtx();
+    g_last->tmin = tmin;
+    g_last->tmax = tmax;
+    g_last->cent = cent;
+    g_last->leaf_size = leaf_size;
+
+    delete g_wide;
+    g_wide = new Wide8Ctx();
+
+    if (n > 0) {
+        std::vector<int64_t> idx(n);
+        for (int64_t i = 0; i < n; ++i) idx[i] = i;
+        build_node(*g_last, idx.data(), n);
+        // wide root at id 0
+        g_wide->slot_bmin.assign(24, 0.0f);
+        g_wide->slot_bmax.assign(24, -1.0f);
+        g_wide->child_base.assign(1, 0);
+        g_wide->leaf_base.assign(1, 0);
+        g_wide->leaf_count.assign(1, 0);
+        g_wide->int_count.assign(1, 0);
+        emit_wide(*g_last, *g_wide, 0, 0, leaf_size, 1);
+    } else {
+        // empty scene: one childless wide root + one degenerate tri block
+        g_wide->slot_bmin.assign(24, 0.0f);
+        g_wide->slot_bmax.assign(24, -1.0f);
+        g_wide->child_base.assign(1, 0);
+        g_wide->leaf_base.assign(1, 0);
+        g_wide->leaf_count.assign(1, 0);
+        g_wide->int_count.assign(1, 0);
+        g_wide->order.assign(leaf_size, -1);
+        g_wide->max_depth = 1;
+    }
+    delete g_last;
+    g_last = nullptr;
+    *order_len = static_cast<int64_t>(g_wide->order.size());
+    *max_depth = g_wide->max_depth;
+    return static_cast<int64_t>(g_wide->child_base.size());
+}
+
+void ptrt_bvh8_fetch(float *slot_bmin, float *slot_bmax, int32_t *child_base,
+                     int32_t *leaf_base, int32_t *leaf_count,
+                     int32_t *int_count, int64_t *order) {
+    if (!g_wide) return;
+    std::memcpy(slot_bmin, g_wide->slot_bmin.data(),
+                g_wide->slot_bmin.size() * sizeof(float));
+    std::memcpy(slot_bmax, g_wide->slot_bmax.data(),
+                g_wide->slot_bmax.size() * sizeof(float));
+    std::memcpy(child_base, g_wide->child_base.data(),
+                g_wide->child_base.size() * sizeof(int32_t));
+    std::memcpy(leaf_base, g_wide->leaf_base.data(),
+                g_wide->leaf_base.size() * sizeof(int32_t));
+    std::memcpy(leaf_count, g_wide->leaf_count.data(),
+                g_wide->leaf_count.size() * sizeof(int32_t));
+    std::memcpy(int_count, g_wide->int_count.data(),
+                g_wide->int_count.size() * sizeof(int32_t));
+    std::memcpy(order, g_wide->order.data(),
+                g_wide->order.size() * sizeof(int64_t));
+    delete g_wide;
+    g_wide = nullptr;
 }
 
 void ptrt_bvh_fetch(float *bmin, float *bmax, int32_t *leaf_first,

@@ -1,18 +1,29 @@
-"""Lock-step BVH traversal + Möller–Trumbore intersection over ray wavefronts.
+"""Lock-step 8-wide BVH traversal + Möller–Trumbore over ray wavefronts.
 
 TPU-native replacement for the reference's per-thread stack walks
 (``intersection.cuh:300-435`` BLAS, ``:526-605`` TLAS, ``:481-524`` any-hit).
-Every ray holds one node pointer into the skip-pointer BVH
-(geometry/bvh.py); all rays advance together inside one ``lax.while_loop``;
-interior hits descend to ``i+1``, misses and leaves jump to ``skip[i]``.
 
-Measured TPU reality shapes the memory layout: a gather of R indices costs
-the same whether each row is 1 float or ~100 floats (per-index cost, see
-SURVEY perf notes), so each iteration issues exactly TWO gathers — one
-packed node row (bounds + links) and one packed leaf block (8 triangles,
-MT-ready) — and the 8-wide triangle test is unrolled elementwise VPU work.
-Hit attributes (normal, mesh id, barycentrics) are carried through the loop,
-so no post-traversal gathers are needed.
+Measured TPU reality (TODO.md perf model) shapes the design: traversal cost
+is per-iteration GATHER cost (~3.3 ns/lane/gather), and a ~64-float row
+gathers about as cheaply as a 16-float one — so the wins come from FEWER
+iterations, not narrower rows.  Hence:
+
+* **8-wide nodes** (geometry/bvh8.py): one gathered row carries all eight
+  child AABBs; the parent tests them together and missed children are never
+  visited.  Tree depth (and worst-lane iteration count) drops ~3x vs binary.
+* **Mask-stack**: per lane, the pending work is a pair of packed int32
+  entries ``(base << 8) | bitmask`` — one for leaf children (tri-table
+  rows ``base+slot``), one for internal children (node ids ``base+slot``).
+  A tiny per-lane stack of such entries lives in a (R, D) array; push/pop
+  are elementwise ``where(iota == sp)`` ops, NOT scatters.
+* **Dual action per iteration**: each iteration pops if idle, tests ONE
+  pending leaf block (gather 1) and descends ONE pending internal child
+  (gather 2) — so a lane's iteration count is ~max(leaf visits, node
+  visits), not their sum, and both gathers are useful work.
+* **Two-pass compaction**: the lock-step while pays the slowest lane
+  (heavy-tailed), so pass 1 caps iterations over the full wavefront and the
+  unfinished tail is compacted into a 1/8-size buffer and run to completion
+  (exact, just reordered).
 
 A gather-free brute-force path (tiled over triangle chunks) is provided for
 small scenes, where dense elementwise work beats any gather.
@@ -87,19 +98,6 @@ def _mt_test(v0: Vec3, e1: Vec3, e2: Vec3, o: Vec3, d: Vec3, t_min, t_max):
     return ok, t, u, v
 
 
-def _slab_test(bmin: Vec3, bmax: Vec3, o: Vec3, inv_d: Vec3, t_max):
-    """Robust slab AABB test (``intersection.cuh:136-216``)."""
-    t0 = (bmin - o) * inv_d
-    t1 = (bmax - o) * inv_d
-    tlo = Vec3(jnp.minimum(t0.x, t1.x), jnp.minimum(t0.y, t1.y),
-               jnp.minimum(t0.z, t1.z))
-    thi = Vec3(jnp.maximum(t0.x, t1.x), jnp.maximum(t0.y, t1.y),
-               jnp.maximum(t0.z, t1.z))
-    t_enter = jnp.maximum(jnp.maximum(tlo.x, tlo.y), jnp.maximum(tlo.z, 0.0))
-    t_exit = jnp.minimum(jnp.minimum(thi.x, thi.y), jnp.minimum(thi.z, t_max))
-    return t_enter <= t_exit
-
-
 def _safe_inv(d: Vec3) -> Vec3:
     """Signed-epsilon inverse direction (``RayOptimized``,
     ``intersection.cuh:39-88``)."""
@@ -116,17 +114,49 @@ def _i32(col: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(col, jnp.int32)
 
 
-def _fetch_node(geom: SceneGeometry, nidx):
-    """Child-test node row: both children's AABBs + links, one gather."""
-    row = jnp.take(geom.node_rows, nidx, axis=0)  # (R, 16)
-    lbb_min = Vec3(row[..., 0], row[..., 1], row[..., 2])
-    lbb_max = Vec3(row[..., 3], row[..., 4], row[..., 5])
-    rbb_min = Vec3(row[..., 6], row[..., 7], row[..., 8])
-    rbb_max = Vec3(row[..., 9], row[..., 10], row[..., 11])
-    child_r = _i32(row[..., 12])
-    skip = _i32(row[..., 13])
-    leaf_block = _i32(row[..., 14])
-    return lbb_min, lbb_max, rbb_min, rbb_max, child_r, skip, leaf_block
+_BITS8 = tuple(1 << k for k in range(8))
+
+
+def _fetch_node8(geom: SceneGeometry, nidx):
+    """8-wide node row (geometry/bvh8.py layout): slot AABBs (SoA inside the
+    row) + child_base_adj / leaf_base / leaf_mask / int_mask. One gather."""
+    row = jnp.take(geom.node_rows, nidx, axis=0)  # (R, 64)
+    bmin8 = (row[..., 0:8], row[..., 8:16], row[..., 16:24])
+    bmax8 = (row[..., 24:32], row[..., 32:40], row[..., 40:48])
+    cba = _i32(row[..., 48])
+    lb = _i32(row[..., 49])
+    lmask = _i32(row[..., 50])
+    imask = _i32(row[..., 51])
+    return bmin8, bmax8, cba, lb, lmask, imask
+
+
+def _slab8(bmin8, bmax8, o: Vec3, inv_d: Vec3, t_max):
+    """Slab test of all 8 child AABBs of a node row; (R, 8) bool.
+    Empty slots carry inverted boxes and can never pass."""
+    oc = (o.x[..., None], o.y[..., None], o.z[..., None])
+    ic = (inv_d.x[..., None], inv_d.y[..., None], inv_d.z[..., None])
+    t_enter = jnp.zeros_like(bmin8[0])
+    t_exit = jnp.broadcast_to(t_max[..., None], bmin8[0].shape)
+    for a in range(3):
+        t0 = (bmin8[a] - oc[a]) * ic[a]
+        t1 = (bmax8[a] - oc[a]) * ic[a]
+        t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
+        t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+    return t_enter <= t_exit
+
+
+def _hitmask8(hits8) -> jnp.ndarray:
+    """(R, 8) bool -> int32 bitmask."""
+    m = jnp.zeros(hits8.shape[:-1], jnp.int32)
+    for k, b in enumerate(_BITS8):
+        m = m | jnp.where(hits8[..., k], jnp.int32(b), 0)
+    return m
+
+
+def _lsb_slot(mask: jnp.ndarray) -> jnp.ndarray:
+    """Bit position of the lowest set bit (undefined-but-bounded for 0)."""
+    lsb = mask & -mask
+    return jax.lax.population_count(lsb - 1)
 
 
 def _fetch_leaf(geom: SceneGeometry, leaf_block):
@@ -146,173 +176,198 @@ def _fetch_leaf(geom: SceneGeometry, leaf_block):
 # -- BVH path ---------------------------------------------------------------
 
 # Two-pass compacted traversal: the lock-step while pays the SLOWEST lane
-# (measured: mean 8 node visits vs max 100-3000), so pass 1 runs at most
+# (measured: heavy-tailed node-visit counts), so pass 1 runs at most
 # PASS1_CAP iterations over the full wavefront (covering ~p99 of lanes),
 # then the few unfinished lanes are compacted into a buffer 1/COMPACT_SHRINK
 # the size and run to completion there — gather cost is per-index, so the
 # tail lanes cost SHRINK-times less per iteration.  Pass 1 keeps looping if
 # the unfinished count would overflow the small buffer, so results are
 # EXACT.  Batches below MIN_COMPACT_LANES skip the machinery.
-PASS1_CAP = 48
+PASS1_CAP = 16
 COMPACT_SHRINK = 8
 MIN_COMPACT_LANES = 16384
 
 
-def _closest_loop(geom, o, d, state, pass1_cap):
-    """Run the closest-hit walk; ``pass1_cap`` of None = to completion.
-    state = (node, t, u, v, nrm, mesh)."""
-    n_nodes = geom.num_nodes
-    inv_d = _safe_inv(d)
+def _pop_cur(st, iota_d):
+    """If the current entry is drained and the stack is non-empty, pop."""
+    cur_mask = st["mask_i"] | st["mask_l"]
+    can_pop = (cur_mask == 0) & (st["sp"] > 0)
+    spm1 = jnp.maximum(st["sp"] - 1, 0)
+    sel = iota_d[None, :] == spm1[:, None]
+    top_a = jnp.sum(jnp.where(sel, st["stack_a"], 0), axis=1)
+    top_b = jnp.sum(jnp.where(sel, st["stack_b"], 0), axis=1)
+    return dict(
+        st,
+        base_i=jnp.where(can_pop, (top_a >> 8) - 8, st["base_i"]),
+        mask_i=jnp.where(can_pop, top_a & 0xFF, st["mask_i"]),
+        base_l=jnp.where(can_pop, top_b >> 8, st["base_l"]),
+        mask_l=jnp.where(can_pop, top_b & 0xFF, st["mask_l"]),
+        sp=jnp.where(can_pop, spm1, st["sp"]),
+    )
+
+
+def _descend(st, geom, o, inv_d, t_bound, iota_d):
+    """Node action: visit ONE pending internal child (one node-row gather),
+    slab-test its 8 children, make them the new current entry (pushing the
+    remainder of the old entry if it still has pending bits)."""
+    base_i, mask_i = st["base_i"], st["mask_i"]
+    base_l, mask_l = st["base_l"], st["mask_l"]
+    sp = st["sp"]
+    has_int = mask_i != 0
+    slot_i = _lsb_slot(mask_i)
+    naddr = jnp.clip(base_i + slot_i, 0, geom.num_nodes - 1)
+    bmin8, bmax8, cba, lb, row_lmask, row_imask = _fetch_node8(geom, naddr)
+    hitm = _hitmask8(_slab8(bmin8, bmax8, o, inv_d, t_bound))
+    new_l = hitm & row_lmask
+    new_i = hitm & row_imask
+    mask_i = mask_i & (mask_i - 1)  # consume the visited bit
+    take_new = has_int & ((new_l | new_i) != 0)
+    do_push = take_new & ((mask_i | mask_l) != 0)
+    ent_a = ((base_i + 8) << 8) | mask_i
+    ent_b = (base_l << 8) | mask_l
+    sel = (iota_d[None, :] == sp[:, None]) & do_push[:, None]
+    return dict(
+        st,
+        stack_a=jnp.where(sel, ent_a[:, None], st["stack_a"]),
+        stack_b=jnp.where(sel, ent_b[:, None], st["stack_b"]),
+        sp=jnp.where(do_push, sp + 1, sp),
+        base_i=jnp.where(take_new, cba, base_i),
+        mask_i=jnp.where(take_new, new_i, mask_i),
+        base_l=jnp.where(take_new, lb, base_l),
+        mask_l=jnp.where(take_new, new_l, mask_l),
+    )
+
+
+def _active(st):
+    return ((st["mask_i"] | st["mask_l"]) != 0) | (st["sp"] > 0)
+
+
+def _run_walk(body, state, pass1_cap):
+    """Drive the walk; ``pass1_cap`` of None = run to completion."""
 
     def cond_full(s):
-        return jnp.any(s[0]["node"] < n_nodes)
+        return jnp.any(_active(s[0]))
 
     def cond_capped(s):
         st, k = s
-        active = st["node"] < n_nodes
-        n_active = jnp.sum(active.astype(jnp.int32))
-        cap = jnp.size(st["node"]) // COMPACT_SHRINK
-        return jnp.any(active) & ((k < pass1_cap) | (n_active > cap))
+        act = _active(st)
+        n_active = jnp.sum(act.astype(jnp.int32))
+        cap = jnp.size(st["sp"]) // COMPACT_SHRINK
+        return jnp.any(act) & ((k < pass1_cap) | (n_active > cap))
+
+    cond = cond_full if pass1_cap is None else cond_capped
+    out, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return out
+
+
+def _compact_finish(loop, state, o, d, extras=()):
+    """Compact unfinished lanes into a 1/COMPACT_SHRINK buffer, finish them
+    there, scatter results back.  ``extras`` are additional per-lane inputs
+    (e.g. any-hit t_max).  All arrays are lane-major (axis 0 = lane)."""
+    total = jnp.size(state["sp"])
+    small_n = total // COMPACT_SHRINK
+    perm = jnp.argsort(jnp.logical_not(_active(state)), stable=True)[:small_n]
+    take = lambda a: jnp.take(a, perm, axis=0)
+    small = jax.tree_util.tree_map(take, state)
+    o_s = o.map(take)
+    d_s = d.map(take)
+    extras_s = tuple(take(e) for e in extras)
+    small = loop(small, o_s, d_s, *extras_s)
+    upd = lambda full, sm: full.at[perm].set(sm)
+    return jax.tree_util.tree_map(upd, state, small)
+
+
+def _init_walk_state(total: int, depth: int, live) -> dict:
+    """Start every live lane at the root (node id 0 = base 0 + slot 0)."""
+    z = jnp.zeros((total,), jnp.int32)
+    return dict(
+        base_i=z,
+        mask_i=jnp.where(live, 1, 0).astype(jnp.int32),
+        base_l=z,
+        mask_l=z,
+        sp=z,
+        stack_a=jnp.zeros((total, depth), jnp.int32),
+        stack_b=jnp.zeros((total, depth), jnp.int32),
+    )
+
+
+def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
+                      t_max=T_MAX) -> Hit:
+    """Closest-hit over the wavefront (``traceRay``,
+    ``intersection.cuh:526-605``).  Lanes with t_max <= 0 are dead and exit
+    without traversing."""
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
+                                 jnp.shape(jnp.asarray(t_max)))
+    total = 1
+    for sdim in shape:
+        total *= sdim
+    o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
+    d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                          shape).reshape(total)
+    depth = geom.stack_depth
+    iota_d = jnp.arange(depth, dtype=jnp.int32)
+
+    state = _init_walk_state(total, depth, t0 > 0.0)
+    state.update(
+        t=t0,
+        u=jnp.zeros((total,), jnp.float32),
+        v=jnp.zeros((total,), jnp.float32),
+        nrm=Vec3.zeros((total,)),
+        mesh=jnp.full((total,), -1, jnp.int32),
+    )
+
+    def loop_full(st, o_s, d_s):
+        return _run_walk(_make_closest_body(geom, o_s, d_s, iota_d), st,
+                         None)
+
+    if total < MIN_COMPACT_LANES:
+        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, None)
+    else:
+        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state,
+                      PASS1_CAP)
+        s = _compact_finish(loop_full, s, o, d)
+
+    found = s["mesh"] >= 0
+    n = s["nrm"].normalized(1e-30)
+    front = d.dot(n) < 0.0
+    n = where(front, n, -n)
+    rs = lambda a: a.reshape(shape)
+    return Hit(
+        hit=rs(found), t=rs(s["t"]), point=(o + d * s["t"]).map(rs),
+        normal=n.map(rs), front_face=rs(front),
+        mesh_index=rs(jnp.where(found, s["mesh"], -1)),
+        u=rs(s["u"]), v=rs(s["v"]),
+    )
+
+
+def _make_closest_body(geom, o, d, iota_d):
+    """Closest-hit body over explicit ray args (for the compacted tail)."""
+    inv_d = _safe_inv(d)
 
     def body(s):
         st, k = s
-        node = st["node"]
-        active = node < n_nodes
-        nidx = jnp.minimum(node, n_nodes - 1)
-        (lbb_min, lbb_max, rbb_min, rbb_max, child_r, skip,
-         leaf_block) = _fetch_node(geom, nidx)
-        is_leaf = leaf_block >= 0
-
+        st = _pop_cur(st, iota_d)
         best_t, best_u, best_v = st["t"], st["u"], st["v"]
         best_nrm, best_mesh = st["nrm"], st["mesh"]
-        test_leaf = active & is_leaf
-        for v0, e1, e2, mesh_id, _ in _fetch_leaf(geom, leaf_block):
+        has_leaf = st["mask_l"] != 0
+        blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
+                       geom.num_tri_blocks - 1)
+        for v0, e1, e2, mesh_id, _ in _fetch_leaf(geom, blk):
             ok, t, uu, vv = _mt_test(v0, e1, e2, o, d, T_MIN, best_t)
-            ok = ok & test_leaf & (mesh_id >= 0)
+            ok = ok & has_leaf & (mesh_id >= 0)
             n = cross(e1, e2)
             best_nrm = where(ok, n, best_nrm)
             best_mesh = jnp.where(ok, mesh_id, best_mesh)
             best_u = jnp.where(ok, uu, best_u)
             best_v = jnp.where(ok, vv, best_v)
             best_t = jnp.where(ok, t, best_t)
+        st = dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1), t=best_t,
+                  u=best_u, v=best_v, nrm=best_nrm, mesh=best_mesh)
+        st = _descend(st, geom, o, inv_d, best_t, iota_d)
+        return st, k + 1
 
-        # both children tested at the parent; missed children never visited
-        lh = _slab_test(lbb_min, lbb_max, o, inv_d, best_t)
-        rh = _slab_test(rbb_min, rbb_max, o, inv_d, best_t)
-        node = jnp.where(
-            is_leaf, skip,
-            jnp.where(lh, node + 1, jnp.where(rh, child_r, skip)))
-        node = jnp.where(active, node, n_nodes)
-        return (dict(node=node, t=best_t, u=best_u, v=best_v, nrm=best_nrm,
-                     mesh=best_mesh), k + 1)
-
-    if pass1_cap is None:
-        out, _ = jax.lax.while_loop(
-            lambda s: cond_full(s), body, (state, jnp.int32(0)))
-    else:
-        out, _ = jax.lax.while_loop(cond_capped, body, (state, jnp.int32(0)))
-    return out
-
-
-def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
-                      t_max=T_MAX) -> Hit:
-    """Closest-hit over the wavefront (``traceRay``,
-    ``intersection.cuh:526-605``)."""
-    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x))
-    o = o.broadcast_to(shape)
-    d = d.broadcast_to(shape)
-    n_nodes = geom.num_nodes
-    total = 1
-    for sdim in shape:
-        total *= sdim
-
-    state0 = dict(
-        node=jnp.zeros(shape, jnp.int32),
-        t=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape),
-        u=jnp.zeros(shape, jnp.float32),
-        v=jnp.zeros(shape, jnp.float32),
-        nrm=Vec3.zeros(shape),
-        mesh=jnp.full(shape, -1, jnp.int32),
-    )
-
-    if total < MIN_COMPACT_LANES:
-        s = _closest_loop(geom, o, d, state0, None)
-    else:
-        # pass 1 over the full wavefront
-        s = _closest_loop(geom, o, d, state0, PASS1_CAP)
-        # compact the unfinished tail into a small buffer
-        flat = jax.tree_util.tree_map(lambda a: a.reshape(total), s)
-        o_f = o.map(lambda c: c.reshape(total))
-        d_f = d.map(lambda c: c.reshape(total))
-        small_n = total // COMPACT_SHRINK
-        unfinished = flat["node"] < n_nodes
-        perm = jnp.argsort(jnp.logical_not(unfinished),
-                           stable=True)[:small_n]
-        take = lambda a: jnp.take(a, perm, axis=0)
-        small = jax.tree_util.tree_map(take, flat)
-        o_s = o_f.map(take)
-        d_s = d_f.map(take)
-        small = _closest_loop(geom, o_s, d_s, small, None)
-        # scatter tail results back
-        upd = lambda full, sm: full.at[perm].set(sm)
-        s = jax.tree_util.tree_map(upd, flat, small)
-        s = jax.tree_util.tree_map(lambda a: a.reshape(shape), s)
-
-    found = s["mesh"] >= 0
-    n = s["nrm"].normalized(1e-30)
-    front = d.dot(n) < 0.0
-    n = where(front, n, -n)
-    return Hit(
-        hit=found, t=s["t"], point=o + d * s["t"], normal=n,
-        front_face=front, mesh_index=jnp.where(found, s["mesh"], -1),
-        u=s["u"], v=s["v"],
-    )
-
-
-def _any_loop(geom, o, d, t_max, state, pass1_cap):
-    n_nodes = geom.num_nodes
-    inv_d = _safe_inv(d)
-
-    def active_of(s):
-        node, hit = s
-        return (node < n_nodes) & jnp.logical_not(hit)
-
-    def cond_full(s):
-        return jnp.any(active_of(s[0]))
-
-    def cond_capped(s):
-        st, k = s
-        act = active_of(st)
-        n_active = jnp.sum(act.astype(jnp.int32))
-        cap = jnp.size(st[0]) // COMPACT_SHRINK
-        return jnp.any(act) & ((k < pass1_cap) | (n_active > cap))
-
-    def body(s):
-        (node, hit), k = s
-        active = (node < n_nodes) & jnp.logical_not(hit)
-        nidx = jnp.minimum(node, n_nodes - 1)
-        (lbb_min, lbb_max, rbb_min, rbb_max, child_r, skip,
-         leaf_block) = _fetch_node(geom, nidx)
-        is_leaf = leaf_block >= 0
-        test_leaf = active & is_leaf
-
-        for v0, e1, e2, mesh_id, opaque in _fetch_leaf(geom, leaf_block):
-            ok, _, _, _ = _mt_test(v0, e1, e2, o, d, T_MIN, t_max)
-            hit = hit | (ok & test_leaf & opaque & (mesh_id >= 0))
-
-        lh = _slab_test(lbb_min, lbb_max, o, inv_d, t_max)
-        rh = _slab_test(rbb_min, rbb_max, o, inv_d, t_max)
-        node = jnp.where(
-            is_leaf, skip,
-            jnp.where(lh, node + 1, jnp.where(rh, child_r, skip)))
-        node = jnp.where(active, node, n_nodes)
-        return (node, hit), k + 1
-
-    if pass1_cap is None:
-        out, _ = jax.lax.while_loop(cond_full, body, (state, jnp.int32(0)))
-    else:
-        out, _ = jax.lax.while_loop(cond_capped, body, (state, jnp.int32(0)))
-    return out
+    return body
 
 
 def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
@@ -321,36 +376,53 @@ def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
     matching ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``)."""
     shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
                                  jnp.shape(t_max))
-    o = o.broadcast_to(shape)
-    d = d.broadcast_to(shape)
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
-    n_nodes = geom.num_nodes
     total = 1
     for sdim in shape:
         total *= sdim
+    o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
+    d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
+    t_f = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                           shape).reshape(total)
+    depth = geom.stack_depth
+    iota_d = jnp.arange(depth, dtype=jnp.int32)
 
-    state0 = (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool))
+    state = _init_walk_state(total, depth, t_f > 0.0)
+    state.update(hit=jnp.zeros((total,), bool))
+
+    def make_body(o_s, d_s, t_s):
+        inv_d = _safe_inv(d_s)
+
+        def body(s):
+            st, k = s
+            st = _pop_cur(st, iota_d)
+            hit = st["hit"]
+            has_leaf = st["mask_l"] != 0
+            blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
+                           geom.num_tri_blocks - 1)
+            for v0, e1, e2, mesh_id, opaque in _fetch_leaf(geom, blk):
+                ok, _, _, _ = _mt_test(v0, e1, e2, o_s, d_s, T_MIN, t_s)
+                hit = hit | (ok & has_leaf & opaque & (mesh_id >= 0))
+            st = dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1), hit=hit)
+            st = _descend(st, geom, o_s, inv_d, t_s, iota_d)
+            # early-out: a found occlusion kills the lane's remaining work
+            return dict(
+                st,
+                mask_i=jnp.where(hit, 0, st["mask_i"]),
+                mask_l=jnp.where(hit, 0, st["mask_l"]),
+                sp=jnp.where(hit, 0, st["sp"]),
+            ), k + 1
+
+        return body
+
+    def loop_full(st, o_s, d_s, t_s):
+        return _run_walk(make_body(o_s, d_s, t_s), st, None)
 
     if total < MIN_COMPACT_LANES:
-        _, hit = _any_loop(geom, o, d, t_max, state0, None)
-        return hit
-
-    node, hit = _any_loop(geom, o, d, t_max, state0, PASS1_CAP)
-    node_f = node.reshape(total)
-    hit_f = hit.reshape(total)
-    o_f = o.map(lambda c: c.reshape(total))
-    d_f = d.map(lambda c: c.reshape(total))
-    t_f = t_max.reshape(total)
-    small_n = total // COMPACT_SHRINK
-    unfinished = (node_f < n_nodes) & jnp.logical_not(hit_f)
-    perm = jnp.argsort(jnp.logical_not(unfinished), stable=True)[:small_n]
-    take = lambda a: jnp.take(a, perm, axis=0)
-    o_s = o_f.map(take)
-    d_s = d_f.map(take)
-    node_s, hit_s = _any_loop(geom, o_s, d_s, take(t_f),
-                              (take(node_f), take(hit_f)), None)
-    hit_f = hit_f.at[perm].set(hit_s)
-    return hit_f.reshape(shape)
+        s = _run_walk(make_body(o, d, t_f), state, None)
+    else:
+        s = _run_walk(make_body(o, d, t_f), state, PASS1_CAP)
+        s = _compact_finish(loop_full, s, o, d, extras=(t_f,))
+    return s["hit"].reshape(shape)
 
 
 # -- brute-force path (small scenes; gather-free) ---------------------------
