@@ -135,14 +135,23 @@ def assemble_geometry(meshes: list[Mesh],
     # lock-step iteration count, the dominant cost) drops ~3x vs binary.
     node_rows = pack_node_rows(bvh)
 
-    # -- packed triangle-block rows (B, leaf_size*12) -----------------------
+    # -- packed triangle-block rows (B, 12*leaf_size), SoA WITHIN the row ---
+    # Field-major layout [v0x*L v0y*L v0z*L e1x*L ... mesh_id*L opaque*L
+    # pad*L]: the traversal reshapes a gathered row to (R, 12, L) and slices
+    # whole fields along the middle (major) axis — contiguous (R, L) views
+    # that vectorize the Möller–Trumbore test across the block.  Interleaved
+    # per-triangle layout would need L*12 single-column extracts, each a
+    # cross-lane relayout (~22x slower, measured).
     n_blocks = max(1, pmid.shape[0] // leaf_size)
-    per_tri = np.concatenate(
-        [pv0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32),
-         pmid.astype(np.int32).view(np.float32)[:, None],
-         opaque.astype(np.float32)[:, None],
-         np.zeros((pmid.shape[0], 1), np.float32)], axis=1)  # (M, 12)
-    tri_rows = per_tri.reshape(n_blocks, leaf_size * 12)
+    fields = [pv0[:, 0], pv0[:, 1], pv0[:, 2],
+              e1[:, 0], e1[:, 1], e1[:, 2],
+              e2[:, 0], e2[:, 1], e2[:, 2],
+              pmid.astype(np.int32).view(np.float32),
+              opaque.astype(np.float32),
+              np.zeros(pmid.shape[0], np.float32)]
+    tri_rows = np.concatenate(
+        [np.asarray(f, np.float32).reshape(n_blocks, leaf_size)
+         for f in fields], axis=1)
 
     return SceneGeometry(
         node_rows=jnp.asarray(node_rows),

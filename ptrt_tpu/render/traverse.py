@@ -160,31 +160,33 @@ def _lsb_slot(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fetch_leaf(geom: SceneGeometry, leaf_block):
+    """One gathered tri-block row -> SoA (R, L) field views (field-major
+    row layout, see scene_geom.assemble_geometry).  Slicing the middle axis
+    of the (R, 12, L) reshape keeps fields contiguous — no per-column
+    relayouts — so the MT test runs vectorized across the whole block."""
     blk = jnp.take(geom.tri_rows, jnp.maximum(leaf_block, 0), axis=0)
-    out = []
-    for k in range(LEAF_SIZE):
-        b = k * 12
-        v0 = Vec3(blk[..., b + 0], blk[..., b + 1], blk[..., b + 2])
-        e1 = Vec3(blk[..., b + 3], blk[..., b + 4], blk[..., b + 5])
-        e2 = Vec3(blk[..., b + 6], blk[..., b + 7], blk[..., b + 8])
-        mesh_id = _i32(blk[..., b + 9])
-        opaque = blk[..., b + 10] > 0.5
-        out.append((v0, e1, e2, mesh_id, opaque))
-    return out
+    f = blk.reshape(blk.shape[:-1] + (12, LEAF_SIZE))
+    v0 = Vec3(f[..., 0, :], f[..., 1, :], f[..., 2, :])
+    e1 = Vec3(f[..., 3, :], f[..., 4, :], f[..., 5, :])
+    e2 = Vec3(f[..., 6, :], f[..., 7, :], f[..., 8, :])
+    mesh_id = _i32(f[..., 9, :])
+    opaque = f[..., 10, :] > 0.5
+    return v0, e1, e2, mesh_id, opaque
 
 
 # -- BVH path ---------------------------------------------------------------
 
-# Two-pass compacted traversal: the lock-step while pays the SLOWEST lane
-# (measured: heavy-tailed node-visit counts), so pass 1 runs at most
-# PASS1_CAP iterations over the full wavefront (covering ~p99 of lanes),
-# then the few unfinished lanes are compacted into a buffer 1/COMPACT_SHRINK
-# the size and run to completion there — gather cost is per-index, so the
-# tail lanes cost SHRINK-times less per iteration.  Pass 1 keeps looping if
-# the unfinished count would overflow the small buffer, so results are
-# EXACT.  Batches below MIN_COMPACT_LANES skip the machinery.
-PASS1_CAP = 16
+# Compacted traversal: the lock-step while pays the SLOWEST lane (measured:
+# heavy-tailed node-visit counts), so each pass runs the full buffer only
+# until the unfinished lanes fit a buffer 1/COMPACT_SHRINK the size (with at
+# least PASS_MIN_ITERS iterations), then compacts them there and repeats —
+# gather cost is per-index, so tail lanes cost SHRINK-times less per
+# iteration.  COMPACT_STAGES bounds the recursion; the last stage runs to
+# completion, so results are EXACT (just reordered).  Batches below
+# MIN_COMPACT_LANES skip the machinery.
+PASS_MIN_ITERS = 2
 COMPACT_SHRINK = 8
+COMPACT_STAGES = 2
 MIN_COMPACT_LANES = 16384
 
 
@@ -242,8 +244,10 @@ def _active(st):
     return ((st["mask_i"] | st["mask_l"]) != 0) | (st["sp"] > 0)
 
 
-def _run_walk(body, state, pass1_cap):
-    """Drive the walk; ``pass1_cap`` of None = run to completion."""
+def _run_walk(body, state, to_completion):
+    """Drive the walk.  With ``to_completion`` False, stop as soon as the
+    unfinished lanes fit the 1/COMPACT_SHRINK tail buffer (but run at least
+    PASS_MIN_ITERS iterations)."""
 
     def cond_full(s):
         return jnp.any(_active(s[0]))
@@ -253,26 +257,45 @@ def _run_walk(body, state, pass1_cap):
         act = _active(st)
         n_active = jnp.sum(act.astype(jnp.int32))
         cap = jnp.size(st["sp"]) // COMPACT_SHRINK
-        return jnp.any(act) & ((k < pass1_cap) | (n_active > cap))
+        return jnp.any(act) & ((k < PASS_MIN_ITERS) | (n_active > cap))
 
-    cond = cond_full if pass1_cap is None else cond_capped
+    cond = cond_full if to_completion else cond_capped
     out, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
     return out
 
 
-def _compact_finish(loop, state, o, d, extras=()):
-    """Compact unfinished lanes into a 1/COMPACT_SHRINK buffer, finish them
-    there, scatter results back.  ``extras`` are additional per-lane inputs
-    (e.g. any-hit t_max).  All arrays are lane-major (axis 0 = lane)."""
+def _pack_active(active, small_n):
+    """Indices of active lanes, packed to the front of a small_n buffer via
+    cumsum + scatter (an argsort would sort the whole wavefront).  Unfilled
+    slots duplicate lane 0; re-running a lane is a no-op once its masks and
+    sp are drained, and duplicate slots compute identical results, so the
+    scatter-back is still exact."""
+    total = jnp.size(active)
+    pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+    pos = jnp.where(active, pos, small_n)  # inactive -> out of bounds
+    lanes = jnp.arange(total, dtype=jnp.int32)
+    out = jnp.zeros((small_n,), jnp.int32)
+    return out.at[pos].set(lanes, mode="drop")
+
+
+def _compact_finish(loop_factory, state, o, d, extras=(), stages=1):
+    """Compact unfinished lanes into a 1/COMPACT_SHRINK buffer, continue
+    there (recursively re-compacting up to ``stages`` times), scatter results
+    back.  ``extras`` are additional per-lane inputs (e.g. any-hit t_max).
+    All arrays are lane-major (axis 0 = lane)."""
     total = jnp.size(state["sp"])
     small_n = total // COMPACT_SHRINK
-    perm = jnp.argsort(jnp.logical_not(_active(state)), stable=True)[:small_n]
+    perm = _pack_active(_active(state), small_n)
     take = lambda a: jnp.take(a, perm, axis=0)
     small = jax.tree_util.tree_map(take, state)
     o_s = o.map(take)
     d_s = d.map(take)
     extras_s = tuple(take(e) for e in extras)
-    small = loop(small, o_s, d_s, *extras_s)
+    last = stages <= 1 or small_n // COMPACT_SHRINK < 1024
+    small = loop_factory(small, o_s, d_s, *extras_s, to_completion=last)
+    if not last:
+        small = _compact_finish(loop_factory, small, o_s, d_s, extras_s,
+                                stages=stages - 1)
     upd = lambda full, sm: full.at[perm].set(sm)
     return jax.tree_util.tree_map(upd, state, small)
 
@@ -317,16 +340,15 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
         mesh=jnp.full((total,), -1, jnp.int32),
     )
 
-    def loop_full(st, o_s, d_s):
+    def loop_fac(st, o_s, d_s, to_completion):
         return _run_walk(_make_closest_body(geom, o_s, d_s, iota_d), st,
-                         None)
+                         to_completion)
 
     if total < MIN_COMPACT_LANES:
-        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, None)
+        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, True)
     else:
-        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state,
-                      PASS1_CAP)
-        s = _compact_finish(loop_full, s, o, d)
+        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, False)
+        s = _compact_finish(loop_fac, s, o, d, stages=COMPACT_STAGES)
 
     found = s["mesh"] >= 0
     n = s["nrm"].normalized(1e-30)
@@ -344,6 +366,8 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
 def _make_closest_body(geom, o, d, iota_d):
     """Closest-hit body over explicit ray args (for the compacted tail)."""
     inv_d = _safe_inv(d)
+    oe = o.map(lambda c: c[:, None])
+    de = d.map(lambda c: c[:, None])
 
     def body(s):
         st, k = s
@@ -353,18 +377,28 @@ def _make_closest_body(geom, o, d, iota_d):
         has_leaf = st["mask_l"] != 0
         blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
                        geom.num_tri_blocks - 1)
-        for v0, e1, e2, mesh_id, _ in _fetch_leaf(geom, blk):
-            ok, t, uu, vv = _mt_test(v0, e1, e2, o, d, T_MIN, best_t)
-            ok = ok & has_leaf & (mesh_id >= 0)
-            n = cross(e1, e2)
-            best_nrm = where(ok, n, best_nrm)
-            best_mesh = jnp.where(ok, mesh_id, best_mesh)
-            best_u = jnp.where(ok, uu, best_u)
-            best_v = jnp.where(ok, vv, best_v)
-            best_t = jnp.where(ok, t, best_t)
-        st = dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1), t=best_t,
-                  u=best_u, v=best_v, nrm=best_nrm, mesh=best_mesh)
-        st = _descend(st, geom, o, inv_d, best_t, iota_d)
+        # one tri-row gather; MT vectorized across the whole block
+        v0, e1, e2, mesh_id, _ = _fetch_leaf(geom, blk)
+        ok, t, uu, vv = _mt_test(v0, e1, e2, oe, de, T_MIN, best_t[:, None])
+        ok = ok & has_leaf[:, None] & (mesh_id >= 0)
+        tm = jnp.where(ok, t, jnp.inf)
+        tbest = jnp.min(tm, axis=-1)
+        found = tbest < best_t
+        sel = (tm == tbest[:, None]) & ok
+        sel = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=-1) == 1)
+        pick = lambda a: jnp.sum(jnp.where(sel, a, 0), axis=-1)
+        nrm = cross(e1, e2)
+        st = dict(
+            st,
+            mask_l=st["mask_l"] & (st["mask_l"] - 1),
+            t=jnp.where(found, tbest, best_t),
+            u=jnp.where(found, pick(uu), best_u),
+            v=jnp.where(found, pick(vv), best_v),
+            nrm=where(found, Vec3(pick(nrm.x), pick(nrm.y), pick(nrm.z)),
+                      best_nrm),
+            mesh=jnp.where(found, pick(mesh_id), best_mesh),
+        )
+        st = _descend(st, geom, o, inv_d, st["t"], iota_d)
         return st, k + 1
 
     return body
@@ -391,6 +425,8 @@ def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
 
     def make_body(o_s, d_s, t_s):
         inv_d = _safe_inv(d_s)
+        oe = o_s.map(lambda c: c[:, None])
+        de = d_s.map(lambda c: c[:, None])
 
         def body(s):
             st, k = s
@@ -399,9 +435,10 @@ def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
             has_leaf = st["mask_l"] != 0
             blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
                            geom.num_tri_blocks - 1)
-            for v0, e1, e2, mesh_id, opaque in _fetch_leaf(geom, blk):
-                ok, _, _, _ = _mt_test(v0, e1, e2, o_s, d_s, T_MIN, t_s)
-                hit = hit | (ok & has_leaf & opaque & (mesh_id >= 0))
+            v0, e1, e2, mesh_id, opaque = _fetch_leaf(geom, blk)
+            ok, _, _, _ = _mt_test(v0, e1, e2, oe, de, T_MIN, t_s[:, None])
+            ok = ok & opaque & (mesh_id >= 0)
+            hit = hit | (jnp.any(ok, axis=-1) & has_leaf)
             st = dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1), hit=hit)
             st = _descend(st, geom, o_s, inv_d, t_s, iota_d)
             # early-out: a found occlusion kills the lane's remaining work
@@ -414,14 +451,15 @@ def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
 
         return body
 
-    def loop_full(st, o_s, d_s, t_s):
-        return _run_walk(make_body(o_s, d_s, t_s), st, None)
+    def loop_fac(st, o_s, d_s, t_s, to_completion):
+        return _run_walk(make_body(o_s, d_s, t_s), st, to_completion)
 
     if total < MIN_COMPACT_LANES:
-        s = _run_walk(make_body(o, d, t_f), state, None)
+        s = _run_walk(make_body(o, d, t_f), state, True)
     else:
-        s = _run_walk(make_body(o, d, t_f), state, PASS1_CAP)
-        s = _compact_finish(loop_full, s, o, d, extras=(t_f,))
+        s = _run_walk(make_body(o, d, t_f), state, False)
+        s = _compact_finish(loop_fac, s, o, d, extras=(t_f,),
+                            stages=COMPACT_STAGES)
     return s["hit"].reshape(shape)
 
 
