@@ -84,20 +84,29 @@ class SceneGeometry:
 
 def assemble_geometry(meshes: list[Mesh],
                       material_transmission: list[float] | None = None,
-                      leaf_size: int = LEAF_SIZE) -> SceneGeometry:
-    """Build world-space packed geometry + BVH from host meshes.
+                      leaf_size: int = LEAF_SIZE,
+                      mesh_ids: list[int] | None = None,
+                      world: bool = True) -> SceneGeometry:
+    """Build packed geometry + BVH from host meshes.
 
-    ``material_transmission[i]`` is the transmission of mesh i's material;
-    occluders with transmission > 0.5 are skipped by shadow rays, matching
+    ``material_transmission[i]`` is the transmission of mesh ``i``'s
+    material INDEXED BY EMITTED ID (see ``mesh_ids``); occluders with
+    transmission > 0.5 are skipped by shadow rays, matching
     ``intersection.cuh:481-524``.
+
+    ``mesh_ids`` overrides the per-mesh object/material id baked into the
+    triangle lanes (defaults to enumeration order) — the two-level assembly
+    uses it to keep GLOBAL mesh indices inside per-instance BLASes.
+    ``world=False`` keeps vertices in mesh-local space (instance BLAS).
     """
     v0s, v1s, v2s, mids = [], [], [], []
     for i, m in enumerate(meshes):
-        a, b, c = m.triangle_arrays(world=True)
+        a, b, c = m.triangle_arrays(world=world)
         v0s.append(a)
         v1s.append(b)
         v2s.append(c)
-        mids.append(np.full(a.shape[0], i, np.int32))
+        gid = i if mesh_ids is None else mesh_ids[i]
+        mids.append(np.full(a.shape[0], gid, np.int32))
     if v0s:
         v0 = np.concatenate(v0s)
         v1 = np.concatenate(v1s)
@@ -163,3 +172,100 @@ def assemble_geometry(meshes: list[Mesh],
         tri_shadow_opaque=jnp.asarray(opaque),
         stack_depth=int(bvh.max_depth) + 2,
     )
+
+
+# -- two-level world: static BLAS + dynamic instances ------------------------
+#
+# TPU-native analog of the reference's TLAS->BLAS structure
+# (``intersection.cuh:526-605`` TLAS walk, ``:438-479`` instance transform,
+# ``scene.cuh:596-743`` dirty-driven incremental updates).  Static meshes are
+# baked into ONE world-space BLAS (fastest traversal: no per-lane matrix
+# work).  Each dynamic mesh keeps a LOCAL-space BLAS plus its world/inverse/
+# normal matrices: a transform edit swaps three small arrays (no rebuild
+# anywhere); a vertex refill (Triangles-type, e.g. the fluid surface)
+# rebuilds only that mesh's BLAS.  The "TLAS" is the per-instance world AABB
+# list — instance counts are tiny (tens), so the instance test is a
+# broadcast slab test, not a tree.
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class Instance:
+    """One dynamic mesh: local BLAS + transform rows + world AABB."""
+
+    geom: SceneGeometry
+    inv_rows: jnp.ndarray  # (3, 4) world->local affine (rotation | trans)
+    nrm_rows: jnp.ndarray  # (3, 3) local->world normal matrix (inv-transpose)
+    bb_min: jnp.ndarray  # (3,) world AABB
+    bb_max: jnp.ndarray  # (3,)
+
+    def tree_flatten(self):
+        return ((self.geom, self.inv_rows, self.nrm_rows, self.bb_min,
+                 self.bb_max), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class WorldGeometry:
+    """Static world BLAS + dynamic instances; traversal dispatches on it."""
+
+    static: SceneGeometry
+    instances: tuple
+
+    def tree_flatten(self):
+        return ((self.static, self.instances), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def instance_transform_rows(mesh: Mesh):
+    """(inv_rows, nrm_rows, bb_min, bb_max) for a mesh's current transform —
+    the only thing a transform edit has to recompute (TLAS-update analog,
+    ``scene.cuh:655-692``)."""
+    inv = np.asarray(mesh.transform.inverse_matrix(), np.float32)[:3, :4]
+    nrm = np.asarray(mesh.transform.normal_matrix(), np.float32)[:3, :3]
+    bb = mesh.world_aabb()
+    return (jnp.asarray(inv), jnp.asarray(nrm),
+            jnp.asarray(np.asarray(bb.lo, np.float32)),
+            jnp.asarray(np.asarray(bb.hi, np.float32)))
+
+
+def assemble_instance(mesh: Mesh, global_id: int,
+                      material_transmission: list[float] | None = None,
+                      leaf_size: int = LEAF_SIZE) -> Instance:
+    """Local-space BLAS for one dynamic mesh (global mesh id baked in)."""
+    geom = assemble_geometry([mesh], material_transmission, leaf_size,
+                             mesh_ids=[global_id], world=False)
+    inv, nrm, bb_min, bb_max = instance_transform_rows(mesh)
+    return Instance(geom=geom, inv_rows=inv, nrm_rows=nrm,
+                    bb_min=bb_min, bb_max=bb_max)
+
+
+def update_instance_transform(inst: Instance, mesh: Mesh) -> Instance:
+    """Matrix-only instance update — BLAS untouched."""
+    inv, nrm, bb_min, bb_max = instance_transform_rows(mesh)
+    return Instance(geom=inst.geom, inv_rows=inv, nrm_rows=nrm,
+                    bb_min=bb_min, bb_max=bb_max)
+
+
+def assemble_world(meshes: list[Mesh],
+                   material_transmission: list[float] | None = None,
+                   leaf_size: int = LEAF_SIZE) -> WorldGeometry:
+    """Full two-level assembly (static bake + one BLAS per dynamic mesh)."""
+    static, static_ids = [], []
+    for i, m in enumerate(meshes):
+        if not m.is_dynamic:
+            static.append(m)
+            static_ids.append(i)
+    sg = assemble_geometry(static, material_transmission, leaf_size,
+                           mesh_ids=static_ids)
+    instances = tuple(
+        assemble_instance(m, i, material_transmission, leaf_size)
+        for i, m in enumerate(meshes) if m.is_dynamic)
+    return WorldGeometry(static=sg, instances=instances)

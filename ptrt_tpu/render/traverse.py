@@ -314,20 +314,49 @@ def _init_walk_state(total: int, depth: int, live) -> dict:
     )
 
 
-def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
-                      t_max=T_MAX) -> Hit:
-    """Closest-hit over the wavefront (``traceRay``,
-    ``intersection.cuh:526-605``).  Lanes with t_max <= 0 are dead and exit
-    without traversing."""
-    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
-                                 jnp.shape(jnp.asarray(t_max)))
-    total = 1
-    for sdim in shape:
-        total *= sdim
-    o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
-    d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
-    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
-                          shape).reshape(total)
+# -- instance (two-level) helpers --------------------------------------------
+
+
+def _affine(rows, p: Vec3) -> Vec3:
+    """Apply a (3, 4) affine row matrix to a point."""
+    return Vec3(
+        rows[0, 0] * p.x + rows[0, 1] * p.y + rows[0, 2] * p.z + rows[0, 3],
+        rows[1, 0] * p.x + rows[1, 1] * p.y + rows[1, 2] * p.z + rows[1, 3],
+        rows[2, 0] * p.x + rows[2, 1] * p.y + rows[2, 2] * p.z + rows[2, 3],
+    )
+
+
+def _linear(rows, v: Vec3) -> Vec3:
+    """Apply the rotation/scale part of a (3, 4) matrix to a direction.
+    The direction is NOT renormalized, so the ray parameter t is identical
+    in local and world space (``intersection.cuh:438-479`` rescales tMax by
+    the direction scale instead; keeping t shared is exact and free)."""
+    return Vec3(
+        rows[0, 0] * v.x + rows[0, 1] * v.y + rows[0, 2] * v.z,
+        rows[1, 0] * v.x + rows[1, 1] * v.y + rows[1, 2] * v.z,
+        rows[2, 0] * v.x + rows[2, 1] * v.y + rows[2, 2] * v.z,
+    )
+
+
+def _slab1(bb_min, bb_max, o: Vec3, inv_d: Vec3, t_max):
+    """Single world-AABB slab test against the wavefront (instance cull)."""
+    t_enter = jnp.zeros_like(o.x)
+    t_exit = t_max
+    for a in range(3):
+        oc = (o.x, o.y, o.z)[a]
+        ic = (inv_d.x, inv_d.y, inv_d.z)[a]
+        t0 = (bb_min[a] - oc) * ic
+        t1 = (bb_max[a] - oc) * ic
+        t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
+        t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+    return t_enter <= t_exit
+
+
+def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
+    """Run the closest-hit walk over flat lanes; lanes with t0 <= 0 are
+    dead.  Returns the raw best-hit state (t/u/v/nrm/mesh), with ``nrm`` in
+    the geometry's own (possibly instance-local) space."""
+    total = jnp.size(t0)
     depth = geom.stack_depth
     iota_d = jnp.arange(depth, dtype=jnp.int32)
 
@@ -349,7 +378,29 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
     else:
         s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, False)
         s = _compact_finish(loop_fac, s, o, d, stages=COMPACT_STAGES)
+    return s
 
+
+def _merge_instance_closest(s, inst, o: Vec3, d: Vec3, inv_d: Vec3,
+                            runner) -> dict:
+    """Trace one instance with the current best t as the bound and merge.
+    ``runner(geom, o_local, d_local, t0) -> state`` (BVH or brute)."""
+    live = _slab1(inst.bb_min, inst.bb_max, o, inv_d, s["t"])
+    o_l = _affine(inst.inv_rows, o)
+    d_l = _linear(inst.inv_rows, d)
+    si = runner(inst.geom, o_l, d_l, jnp.where(live, s["t"], -1.0))
+    found = si["mesh"] >= 0  # any hit beats s: the walk was bounded by s[t]
+    n_w = _linear(inst.nrm_rows, si["nrm"])  # inverse-transpose rotation
+    return dict(
+        t=jnp.where(found, si["t"], s["t"]),
+        u=jnp.where(found, si["u"], s["u"]),
+        v=jnp.where(found, si["v"], s["v"]),
+        nrm=where(found, n_w, s["nrm"]),
+        mesh=jnp.where(found, si["mesh"], s["mesh"]),
+    )
+
+
+def _finalize_closest(o: Vec3, d: Vec3, s: dict, shape) -> Hit:
     found = s["mesh"] >= 0
     n = s["nrm"].normalized(1e-30)
     front = d.dot(n) < 0.0
@@ -361,6 +412,34 @@ def intersect_closest(geom: SceneGeometry, o: Vec3, d: Vec3,
         mesh_index=rs(jnp.where(found, s["mesh"], -1)),
         u=rs(s["u"]), v=rs(s["v"]),
     )
+
+
+def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX) -> Hit:
+    """Closest-hit over the wavefront (``traceRay``,
+    ``intersection.cuh:526-605``).  Lanes with t_max <= 0 are dead and exit
+    without traversing.  Accepts a flat ``SceneGeometry`` or a two-level
+    ``WorldGeometry`` (static pass first to tighten t, then one bounded
+    pass per dynamic instance in its local frame)."""
+    from ptrt_tpu.geometry.scene_geom import WorldGeometry
+
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
+                                 jnp.shape(jnp.asarray(t_max)))
+    total = 1
+    for sdim in shape:
+        total *= sdim
+    o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
+    d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                          shape).reshape(total)
+
+    if isinstance(geom, WorldGeometry):
+        s = _closest_state(geom.static, o, d, t0)
+        inv_d = _safe_inv(d)
+        for inst in geom.instances:
+            s = _merge_instance_closest(s, inst, o, d, inv_d, _closest_state)
+    else:
+        s = _closest_state(geom, o, d, t0)
+    return _finalize_closest(o, d, s, shape)
 
 
 def _make_closest_body(geom, o, d, iota_d):
@@ -404,19 +483,9 @@ def _make_closest_body(geom, o, d, iota_d):
     return body
 
 
-def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
-                  t_max) -> jnp.ndarray:
-    """Shadow any-hit; skips transmissive occluders,
-    matching ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``)."""
-    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
-                                 jnp.shape(t_max))
-    total = 1
-    for sdim in shape:
-        total *= sdim
-    o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
-    d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
-    t_f = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
-                           shape).reshape(total)
+def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f) -> jnp.ndarray:
+    """Any-hit walk over flat lanes; lanes with t_f <= 0 are dead."""
+    total = jnp.size(t_f)
     depth = geom.stack_depth
     iota_d = jnp.arange(depth, dtype=jnp.int32)
 
@@ -460,43 +529,48 @@ def intersect_any(geom: SceneGeometry, o: Vec3, d: Vec3,
         s = _run_walk(make_body(o, d, t_f), state, False)
         s = _compact_finish(loop_fac, s, o, d, extras=(t_f,),
                             stages=COMPACT_STAGES)
-    return s["hit"].reshape(shape)
+    return s["hit"]
+
+
+def intersect_any(geom, o: Vec3, d: Vec3, t_max) -> jnp.ndarray:
+    """Shadow any-hit; skips transmissive occluders, matching
+    ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``).  Accepts a flat
+    ``SceneGeometry`` or a two-level ``WorldGeometry``."""
+    from ptrt_tpu.geometry.scene_geom import WorldGeometry
+
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
+                                 jnp.shape(t_max))
+    total = 1
+    for sdim in shape:
+        total *= sdim
+    o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
+    d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
+    t_f = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                           shape).reshape(total)
+
+    hit = _any_state(geom.static if isinstance(geom, WorldGeometry) else geom,
+                     o, d, t_f)
+    if isinstance(geom, WorldGeometry):
+        inv_d = _safe_inv(d)
+        for inst in geom.instances:
+            live = (_slab1(inst.bb_min, inst.bb_max, o, inv_d, t_f)
+                    & jnp.logical_not(hit))
+            o_l = _affine(inst.inv_rows, o)
+            d_l = _linear(inst.inv_rows, d)
+            hit = hit | _any_state(inst.geom, o_l, d_l,
+                                   jnp.where(live, t_f, -1.0))
+    return hit.reshape(shape)
 
 
 # -- brute-force path (small scenes; gather-free) ---------------------------
 
-
-def _finalize_hit_brute(geom: SceneGeometry, o: Vec3, d: Vec3, best_t,
-                        best_tri, best_u, best_v) -> Hit:
-    found = best_tri >= 0
-    idx = jnp.maximum(best_tri, 0)
-
-    def g3(v: Vec3):
-        return Vec3(jnp.take(v.x, idx, axis=0), jnp.take(v.y, idx, axis=0),
-                    jnp.take(v.z, idx, axis=0))
-
-    e1 = g3(geom.e1)
-    e2 = g3(geom.e2)
-    n = cross(e1, e2).normalized(1e-30)
-    front = d.dot(n) < 0.0
-    n = where(front, n, -n)
-    mesh_id = jnp.where(found, jnp.take(geom.tri_mesh_id, idx, axis=0), -1)
-    return Hit(
-        hit=found, t=best_t, point=o + d * best_t, normal=n, front_face=front,
-        mesh_index=mesh_id, u=best_u, v=best_v,
-    )
+_BRUTE_CHUNK = 512
 
 
-def intersect_closest_brute(geom: SceneGeometry, o: Vec3, d: Vec3,
-                            t_max=T_MAX, chunk: int = 512) -> Hit:
-    """All-pairs MT over triangle chunks; pure elementwise VPU work.
-
-    Equivalent semantics to ``intersect_closest``; preferred when the scene
-    has few triangles (the (R, C) broadcast beats gather-heavy traversal).
-    """
-    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x))
-    o = o.broadcast_to(shape)
-    d = d.broadcast_to(shape)
+def _brute_closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
+                         chunk: int = _BRUTE_CHUNK) -> dict:
+    """All-pairs MT over triangle chunks; same state contract as
+    ``_closest_state`` (so the instance merge is shared)."""
     m = geom.num_tri_slots
     n_chunks = max(1, -(-m // chunk))
     pad = n_chunks * chunk
@@ -509,7 +583,7 @@ def intersect_closest_brute(geom: SceneGeometry, o: Vec3, d: Vec3,
     pe2 = geom.e2.map(padc)
     pmid = jnp.pad(geom.tri_mesh_id, (0, pad - m), constant_values=-1)
 
-    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    shape = jnp.shape(t0)
     tri0 = jnp.full(shape, -1, jnp.int32)
     u0 = jnp.zeros(shape, jnp.float32)
     v0_ = jnp.zeros(shape, jnp.float32)
@@ -543,16 +617,52 @@ def intersect_closest_brute(geom: SceneGeometry, o: Vec3, d: Vec3,
     best_t, best_tri, best_u, best_v = jax.lax.fori_loop(
         0, n_chunks, body, (t0, tri0, u0, v0_)
     )
-    return _finalize_hit_brute(geom, o, d, best_t, best_tri, best_u, best_v)
+
+    found = best_tri >= 0
+    idx = jnp.maximum(best_tri, 0)
+
+    def g3(v: Vec3):
+        return Vec3(jnp.take(v.x, idx, axis=0), jnp.take(v.y, idx, axis=0),
+                    jnp.take(v.z, idx, axis=0))
+
+    nrm = cross(g3(geom.e1), g3(geom.e2))
+    mesh = jnp.where(found, jnp.take(geom.tri_mesh_id, idx, axis=0), -1)
+    return dict(t=best_t, u=best_u, v=best_v, nrm=nrm, mesh=mesh)
 
 
-def intersect_any_brute(geom: SceneGeometry, o: Vec3, d: Vec3, t_max,
-                        chunk: int = 512) -> jnp.ndarray:
+def intersect_closest_brute(geom, o: Vec3, d: Vec3, t_max=T_MAX,
+                            chunk: int = _BRUTE_CHUNK) -> Hit:
+    """All-pairs MT over triangle chunks; pure elementwise VPU work.
+
+    Equivalent semantics to ``intersect_closest`` (including WorldGeometry
+    dispatch); preferred when the scene has few triangles (the (R, C)
+    broadcast beats gather-heavy traversal).
+    """
+    from ptrt_tpu.geometry.scene_geom import WorldGeometry
+
     shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
-                                 jnp.shape(t_max))
-    o = o.broadcast_to(shape)
-    d = d.broadcast_to(shape)
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+                                 jnp.shape(jnp.asarray(t_max)))
+    total = 1
+    for sdim in shape:
+        total *= sdim
+    o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
+    d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                          shape).reshape(total)
+
+    runner = lambda g, oo, dd, tt: _brute_closest_state(g, oo, dd, tt, chunk)
+    if isinstance(geom, WorldGeometry):
+        s = runner(geom.static, o, d, t0)
+        inv_d = _safe_inv(d)
+        for inst in geom.instances:
+            s = _merge_instance_closest(s, inst, o, d, inv_d, runner)
+    else:
+        s = runner(geom, o, d, t0)
+    return _finalize_closest(o, d, s, shape)
+
+
+def _brute_any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
+                     chunk: int = _BRUTE_CHUNK) -> jnp.ndarray:
     m = geom.num_tri_slots
     n_chunks = max(1, -(-m // chunk))
     pad = n_chunks * chunk
@@ -571,8 +681,38 @@ def intersect_any_brute(geom: SceneGeometry, o: Vec3, d: Vec3, t_max,
     def body(ci, hit):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * chunk, chunk)
         ok, _, _, _ = _mt_test(pv0.map(sl), pe1.map(sl), pe2.map(sl),
-                               oe, de, T_MIN, t_max[..., None])
+                               oe, de, T_MIN, t_f[..., None])
         ok = ok & sl(popq)
         return hit | jnp.any(ok, axis=-1)
 
-    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(shape, bool))
+    return jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.zeros(jnp.shape(t_f), bool))
+
+
+def intersect_any_brute(geom, o: Vec3, d: Vec3, t_max,
+                        chunk: int = _BRUTE_CHUNK) -> jnp.ndarray:
+    from ptrt_tpu.geometry.scene_geom import WorldGeometry
+
+    shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
+                                 jnp.shape(t_max))
+    total = 1
+    for sdim in shape:
+        total *= sdim
+    o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
+    d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
+    t_f = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                           shape).reshape(total)
+
+    hit = _brute_any_state(
+        geom.static if isinstance(geom, WorldGeometry) else geom,
+        o, d, t_f, chunk)
+    if isinstance(geom, WorldGeometry):
+        inv_d = _safe_inv(d)
+        for inst in geom.instances:
+            live = (_slab1(inst.bb_min, inst.bb_max, o, inv_d, t_f)
+                    & jnp.logical_not(hit))
+            o_l = _affine(inst.inv_rows, o)
+            d_l = _linear(inst.inv_rows, d)
+            hit = hit | (_brute_any_state(inst.geom, o_l, d_l, t_f, chunk)
+                         & live)
+    return hit.reshape(shape)

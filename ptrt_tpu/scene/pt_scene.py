@@ -25,6 +25,7 @@ from ptrt_tpu.core import rng as prng
 from ptrt_tpu.core.bluenoise import blue_noise_table
 from ptrt_tpu.core.vec import Vec3
 from ptrt_tpu.geometry.mesh import Mesh
+from ptrt_tpu.geometry import scene_geom
 from ptrt_tpu.geometry.scene_geom import assemble_geometry
 from ptrt_tpu.render import pipeline as pl
 from ptrt_tpu.render import traverse
@@ -70,6 +71,13 @@ class Scene:
         self.frame_count = 0
         self._geom = None
         self._geom_dirty = True
+        # two-level acceleration caches + build counters (scene.cuh:596-743
+        # incremental-update analog; counters are asserted by tests)
+        self._static_cache = None  # (SceneGeometry, signature)
+        self._instance_cache = {}  # id(mesh) -> (Instance, transform_bytes)
+        self.stats_world_builds = 0  # static world BLAS rebuilds
+        self.stats_blas_builds = 0  # per-instance BLAS (re)builds
+        self.stats_tlas_updates = 0  # matrix-only instance updates
         self._mat_table = None
         self._mat_dirty = True
         self._light_table = None
@@ -254,13 +262,7 @@ class Scene:
 
     def _ensure_device_state(self):
         if self._geom_dirty or self._geom is None:
-            # verts_dirty per mesh -> full reassembly (two-level refit is a
-            # later optimization; see SURVEY.md §7 step 4)
-            self._geom = assemble_geometry(
-                self.meshes,
-                [m.transmission for m in self.mesh_materials])
-            for m in self.meshes:
-                m.verts_dirty = False
+            self._rebuild_geometry()
             self._geom_dirty = False
         if self._mat_dirty or self._mat_table is None:
             self._mat_table = MaterialTable.from_materials(self.mesh_materials)
@@ -273,6 +275,52 @@ class Scene:
             ys, xs = np.mgrid[0:rh, 0:rw]
             self._rng_state = prng.seed(jnp.asarray(xs), jnp.asarray(ys), 0)
             self._rng_res = (rh, rw)
+
+    def _rebuild_geometry(self) -> None:
+        """Two-level incremental update (``scene.cuh:596-743`` analog):
+        static meshes share ONE baked world BLAS, rebuilt only when a static
+        mesh's vertices or transform change; each dynamic mesh keeps a
+        local-space BLAS, rebuilt only on vertex refills — its transform
+        edits swap three small matrix arrays (TLAS-update analog)."""
+        trans = [m.transmission for m in self.mesh_materials]
+        static = [(i, m) for i, m in enumerate(self.meshes)
+                  if not m.is_dynamic]
+        sig = tuple(
+            (id(m), m.transform.world_matrix().tobytes()) for _, m in static)
+        if (self._static_cache is None or self._static_cache[1] != sig
+                or any(m.verts_dirty for _, m in static)):
+            sg = assemble_geometry([m for _, m in static], trans,
+                                   mesh_ids=[i for i, _ in static])
+            self._static_cache = (sg, sig)
+            self.stats_world_builds += 1
+            for _, m in static:
+                m.verts_dirty = False
+
+        new_cache = {}
+        instances = []
+        for i, m in enumerate(self.meshes):
+            if not m.is_dynamic:
+                continue
+            tbytes = m.transform.world_matrix().tobytes()
+            cached = self._instance_cache.get(id(m))
+            if cached is None or m.verts_dirty:
+                inst = scene_geom.assemble_instance(m, i, trans)
+                self.stats_blas_builds += 1
+                m.verts_dirty = False
+            elif cached[1] != tbytes:
+                inst = scene_geom.update_instance_transform(cached[0], m)
+                self.stats_tlas_updates += 1
+            else:
+                inst = cached[0]
+            new_cache[id(m)] = (inst, tbytes)
+            instances.append(inst)
+        self._instance_cache = new_cache
+
+        if instances:
+            self._geom = scene_geom.WorldGeometry(
+                static=self._static_cache[0], instances=tuple(instances))
+        else:
+            self._geom = self._static_cache[0]
 
     def _sky(self) -> SkyConfig:
         if self.env_map is not None:

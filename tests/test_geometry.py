@@ -6,7 +6,7 @@ import jax.numpy as jnp
 from ptrt_tpu.core.vec import Vec3, normalize
 from ptrt_tpu.geometry.bvh import build_bvh
 from ptrt_tpu.geometry.mesh import Mesh, load_obj
-from ptrt_tpu.geometry.scene_geom import assemble_geometry
+from ptrt_tpu.geometry.scene_geom import assemble_geometry, assemble_world
 from ptrt_tpu.geometry.transform import Transform3D
 from ptrt_tpu.render.traverse import (
     intersect_any,
@@ -130,6 +130,93 @@ class TestBVH:
         d = _vec(np.array([[0.0, 0.0, -1.0]], np.float32))
         blocked = intersect_any(geom, o, d, jnp.full((1,), 20.0))
         assert not bool(blocked[0])
+
+    def test_dynamic_instance_matches_baked(self, np_rng):
+        """Two-level traversal of a transformed dynamic mesh must agree with
+        the same transform baked statically (intersection.cuh:438-479)."""
+        def build(dynamic: bool):
+            cube = Mesh.cube()
+            cube.transform = Transform3D(position=(1.2, 0.3, -0.5),
+                                         rotation=(0.3, 0.7, 0.1),
+                                         scale=(1.5, 0.8, 1.1))
+            cube.is_dynamic = dynamic
+            ball = Mesh.sphere(12)
+            return assemble_world([ball, cube])
+
+        gw = build(True)
+        gs = build(False)
+        assert len(gw.instances) == 1 and len(gs.instances) == 0
+        n = 512
+        o = _vec(np_rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+                 + np.array([0, 0, 5], np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)
+                           - np.array([0, 0, 2.5], np.float32)))
+        hw = intersect_closest(gw, o, d)
+        hs = intersect_closest(gs, o, d)
+        assert np.array_equal(np.asarray(hw.hit), np.asarray(hs.hit))
+        m = np.asarray(hs.hit)
+        assert np.allclose(np.asarray(hw.t)[m], np.asarray(hs.t)[m],
+                           rtol=1e-3, atol=1e-4)
+        assert np.array_equal(np.asarray(hw.mesh_index)[m],
+                              np.asarray(hs.mesh_index)[m])
+        for c in "xyz":
+            assert np.allclose(np.asarray(getattr(hw.normal, c))[m],
+                               np.asarray(getattr(hs.normal, c))[m],
+                               atol=1e-3)
+        tm = jnp.full((n,), 10.0)
+        assert np.array_equal(np.asarray(intersect_any(gw, o, d, tm)),
+                              np.asarray(intersect_any(gs, o, d, tm)))
+        # brute path agrees through the same instance machinery
+        hb = intersect_closest_brute(gw, o, d)
+        assert np.array_equal(np.asarray(hb.hit), np.asarray(hs.hit))
+        assert np.allclose(np.asarray(hb.t)[m], np.asarray(hs.t)[m],
+                           rtol=1e-3, atol=1e-4)
+        assert np.array_equal(np.asarray(intersect_any_brute(gw, o, d, tm)),
+                              np.asarray(intersect_any(gs, o, d, tm)))
+
+    def test_incremental_build_counters(self):
+        """Transform edits must NOT rebuild any BVH; vertex refills must
+        rebuild only that mesh's BLAS (scene.cuh:596-743 semantics)."""
+        from ptrt_tpu.scene.pt_scene import Scene
+
+        sc = Scene(32, 32)
+        sc.add_plane_xz(-1.0, 5.0)
+        cube = sc.add_cube()
+        cube.is_dynamic = True
+        sc._ensure_device_state()
+        assert sc.stats_world_builds == 1
+        assert sc.stats_blas_builds == 1
+        assert sc.stats_tlas_updates == 0
+
+        # dynamic transform edit: matrix-only update
+        cube.transform.set_position(2.0, 0.5, 0.0)
+        sc.commit_object_changes()
+        sc._ensure_device_state()
+        assert sc.stats_world_builds == 1
+        assert sc.stats_blas_builds == 1
+        assert sc.stats_tlas_updates == 1
+
+        # dynamic vertex refill: one BLAS rebuild, world untouched
+        cube.set_triangles(np.array(
+            [[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32))
+        sc.commit_object_changes()
+        sc._ensure_device_state()
+        assert sc.stats_world_builds == 1
+        assert sc.stats_blas_builds == 2
+
+        # static edit: world rebuild, instance untouched
+        sc.meshes[0].transform.set_position(0.0, -2.0, 0.0)
+        sc.commit_object_changes()
+        sc._ensure_device_state()
+        assert sc.stats_world_builds == 2
+        assert sc.stats_blas_builds == 2
+
+        # no edits: nothing rebuilds
+        sc.commit_object_changes()
+        sc._ensure_device_state()
+        assert sc.stats_world_builds == 2
+        assert sc.stats_blas_builds == 2
+        assert sc.stats_tlas_updates == 1
 
     def test_big_scene_traversal(self, np_rng):
         # a denser mesh to force multi-level traversal

@@ -28,7 +28,7 @@ def timeit(fn, *args, reps=20):
 
 
 def main():
-    w, h = 640, 360
+    w = int(os.environ.get("W", 640)); h = int(os.environ.get("H", 360))
     sc = build_bench_scene(w, h, target_tris=int(os.environ.get("TRIS", 20000)))
     sc._ensure_device_state()
     geom = sc._geom
