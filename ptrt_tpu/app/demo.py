@@ -17,6 +17,7 @@ def main(argv=None) -> int:
     backend = "pt"
     frames = 8
     preset = None
+    interactive = None  # None | "auto" | "pygame" | "http"
     rest = []
     i = 0
     while i < len(argv):
@@ -29,6 +30,11 @@ def main(argv=None) -> int:
         elif argv[i] == "--preset" and i + 1 < len(argv):
             i += 1
             preset = argv[i]
+        elif argv[i] == "--interactive":
+            interactive = "auto"
+        elif argv[i] == "--viewer" and i + 1 < len(argv):
+            i += 1
+            interactive = argv[i]  # pygame | http
         elif argv[i] == "--cpu":
             import jax
 
@@ -62,6 +68,17 @@ def main(argv=None) -> int:
             scene.set_performance_preset(preset)
 
     print_render_info(name, cfg.width, cfg.height)
+
+    if interactive is not None:
+        if backend == "rt":
+            print("interactive viewer currently drives the PT backend")
+            return 1
+        from ptrt_tpu.app.viewer import run_interactive
+
+        n = run_interactive(scene, prefer=interactive,
+                            max_frames=frames if frames > 8 else None)
+        print(f"presented {n} frames")
+        return 0
 
     t0 = time.time()
     img = scene.render_frame()

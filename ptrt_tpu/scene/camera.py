@@ -120,6 +120,17 @@ class Camera:
         return rng_state, RayBatch(
             (self.origin + offset).broadcast_to(jnp.shape(d.x)), d, spec)
 
+    def ray_through(self, s: float, t: float):
+        """Host-side pinhole ray through viewport coords (s, t) in [0, 1]² —
+        numpy (origin, direction) for picking / debug-ray generators."""
+        import numpy as np
+
+        g = lambda v: np.array([float(v.x), float(v.y), float(v.z)])
+        o = g(self.origin)
+        d = (g(self.lower_left_corner) + g(self.horizontal) * s
+             + g(self.vertical) * t - o)
+        return o, d / max(np.linalg.norm(d), 1e-12)
+
     # -- matrices ------------------------------------------------------------
     def get_view_proj(self) -> jnp.ndarray:
         return self.proj @ self.view

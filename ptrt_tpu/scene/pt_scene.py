@@ -121,6 +121,15 @@ class Scene:
         self.add_mesh(w, white_mat)
         self.add_mesh(b, black_mat)
 
+    def remove_mesh(self, mesh: Mesh) -> None:
+        """Remove a mesh (debug-visualization toggles need this; the
+        reference removes by index, ``scene.cuh:1569-1640``)."""
+        i = self.meshes.index(mesh)
+        del self.meshes[i]
+        del self.mesh_materials[i]
+        self._mark_geom_dirty()
+        self._mat_dirty = True
+
     def set_material(self, mesh: Mesh, material: Material) -> None:
         i = self.meshes.index(mesh)
         self.mesh_materials[i] = material

@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Bisect the traversal body cost on TPU."""
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

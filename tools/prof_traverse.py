@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Profile the BVH8 traversal pieces on the current backend."""
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
