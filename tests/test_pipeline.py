@@ -137,6 +137,48 @@ class TestSharding:
         img_single = np.asarray(jax.jit(frame)(sc._rng_state))
         assert np.array_equal(img_sharded, img_single)
 
+    def test_full_frame_sharded_equivalence(self):
+        """The COMPLETE frame program (split trace + motion vectors + SVGF
+        denoise with its halo-exchange convolutions + bloom + tonemap) on the
+        8-device pixel mesh must match the single-device pixels exactly."""
+        from ptrt_tpu.parallel.sharding import make_pixel_mesh, shard_pixels
+        import ptrt_tpu.render.pipeline as pl
+        from ptrt_tpu.render.bloom import apply_bloom
+        from ptrt_tpu.render.denoiser import (denoise_frame,
+                                              init_denoiser_state)
+        from ptrt_tpu.render.motion import motion_vectors
+
+        mesh = make_pixel_mesh(8)
+        dy, dx = mesh.devices.shape
+        h, w = 8 * dy, 16 * dx
+        sc = _tiny_pt_scene(w, h)
+        sc._ensure_device_state()
+        prev_vp = sc.camera.get_view_proj()
+        den0 = init_denoiser_state(h, w)
+
+        def frame(rng_state, den_state):
+            state, bufs = pl.trace_frame(
+                sc._geom, sc._mat_table, sc._light_table, len(sc.lights),
+                sc._sky(), sc.camera, rng_state, jnp.int32(0), w, h, 1, 2,
+                split=True, use_brute=False, blue_noise_tbl=sc._blue_noise)
+            mv = motion_vectors(bufs.depth, sc.camera, prev_vp, w, h)
+            color, den_state = denoise_frame(bufs, mv, den_state, sc.camera,
+                                             jnp.int32(0))
+            color = apply_bloom(color)
+            return pl.tonemap_to_rgb8(color), den_state
+
+        jf = jax.jit(frame)
+        img_single, den_single = jf(sc._rng_state, den0)
+        rng_sh = shard_pixels(mesh, sc._rng_state)
+        den_sh = jax.tree_util.tree_map(
+            lambda a: shard_pixels(mesh, a) if jnp.ndim(a) >= 2 else a, den0)
+        img_sharded, den_sharded = jf(rng_sh, den_sh)
+        assert np.array_equal(np.asarray(img_sharded), np.asarray(img_single))
+        # second frame: history state round-trips through the sharded program
+        img2_s, _ = jf(sc._rng_state, den_sharded)
+        img2_1, _ = jf(sc._rng_state, den_single)
+        assert np.array_equal(np.asarray(img2_s), np.asarray(img2_1))
+
 
 class TestCLI:
     def test_parse_arguments(self):
