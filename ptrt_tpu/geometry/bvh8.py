@@ -166,7 +166,18 @@ def _py_build_bvh8(tmin, tmax, cent, leaf_size: int) -> FlatBVH8:
 
 
 def pack_node_rows(b: FlatBVH8) -> np.ndarray:
-    """Pack the wide BVH into (N, 64) one-gather node rows (layout above)."""
+    """Pack the wide BVH into (N, 64) one-gather node rows (layout above,
+    plus octant-ordered child visit orders in cols 52:60).
+
+    Cols ``52+o`` (o = ray octant, bit a set when ray.d[a] < 0) hold a
+    bitcast i32 packing eight 3-bit slot ids, sorted by child-centroid
+    projection along the octant direction — the traversal visits pending
+    children in this order, so the closest child is descended FIRST and its
+    hit tightens t before farther children are tested (the wide-BVH analog
+    of the reference's ordered near-child descent,
+    ``intersection.cuh:385-418``).  Precomputing per octant makes runtime
+    ordering one lane-select instead of an 8-wide sort.
+    """
     n = b.num_nodes
     rows = np.zeros((n, NODE_ROW_WIDTH), np.float32)
     for a in range(3):
@@ -180,4 +191,18 @@ def pack_node_rows(b: FlatBVH8) -> np.ndarray:
     rows[:, 49] = b.leaf_base.view(np.float32)
     rows[:, 50] = lmask.view(np.float32)
     rows[:, 51] = imask.view(np.float32)
+
+    cent = (b.slot_bmin + b.slot_bmax) * 0.5  # (N, 8, 3)
+    used = (np.arange(8)[None, :]
+            < (b.leaf_count + b.int_count)[:, None])  # (N, 8)
+    for octant in range(8):
+        sign = np.array([1.0 if (octant >> a) & 1 == 0 else -1.0
+                         for a in range(3)], np.float32)
+        proj = (cent * sign).sum(axis=2)
+        proj = np.where(used, proj, np.inf)  # empty slots sort last
+        order = np.argsort(proj, axis=1, kind="stable").astype(np.int64)
+        packed = np.zeros(n, np.int64)
+        for k in range(8):
+            packed |= order[:, k] << (3 * k)
+        rows[:, 52 + octant] = packed.astype(np.int32).view(np.float32)
     return rows

@@ -54,7 +54,8 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
                ray: RayBatch, state, max_depth: int, split: bool = False,
                use_brute: bool = False, unroll: bool | None = None,
                rr_enabled: bool = True,
-               rr_start: int = RUSSIAN_ROULETTE_START_BOUNCE) -> tuple:
+               rr_start: int = RUSSIAN_ROULETTE_START_BOUNCE,
+               camera_nee: bool = True, env_nee: bool | None = None) -> tuple:
     """Trace the wavefront to completion. Returns (rng_state, PathOutput).
 
     ``unroll=True`` expands the bounce loop statically (a Python loop of
@@ -65,9 +66,28 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
     ``rr_enabled``/``rr_start`` surface the reference's PerformanceSettings
     RR toggles (``scene.cuh:196-198``; note the reference kernel hardcodes
     start=2, ``path_logic.cuh:24`` — we honor the setting).
+
+    ``camera_nee=True`` fixes a reference defect: the reference marks camera
+    rays specular (``camera.cuh:201-205``) and gates NEE on
+    ``!ray.isSpecular()`` (``path_logic.cuh:840,982``), so PRIMARY hits
+    never receive direct lighting from analytic lights — a scene lit only
+    by a point light renders black.  With the fix, the camera ray's spec
+    flag no longer suppresses first-bounce NEE (the flag still exists for
+    DOF/emission semantics).  Set False for exact reference behavior.
+
+    ``env_nee`` enables HDRI importance sampling (alias-method env NEE with
+    MIS, render/sky.py) — an improvement over the reference, which never
+    importance-samples the env map (SURVEY.md §7 defects).  Default: on
+    whenever the sky has sampling tables.
     """
     if unroll is None:
-        unroll = max_depth <= 8
+        import os as _os
+
+        env_u = _os.environ.get("PTRT_UNROLL")
+        unroll = (max_depth <= 8) if env_u is None else env_u == "1"
+    if env_nee is None:
+        env_nee = sky.has_env_sampling
+    env_nee = bool(env_nee and sky.has_env_sampling)
     if use_brute:
         closest = lambda o, d, t: traverse.intersect_closest_brute(geom, o, d, t)
         any_hit = lambda o, d, t: traverse.intersect_any_brute(geom, o, d, t)
@@ -79,12 +99,15 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
     zero3 = Vec3.zeros(shape)
     f32 = lambda v: jnp.full(shape, v, jnp.float32)
 
+    # camera_nee: the camera ray's spec flag must not suppress bounce-0 NEE
+    ray_spec0 = (jnp.zeros(shape, bool) if camera_nee
+                 else jnp.broadcast_to(ray.spec, shape))
     init = dict(
         bounce=jnp.int32(0),
         state=state,
         o=ray.origin.broadcast_to(shape),
         d=ray.direction.broadcast_to(shape),
-        ray_spec=jnp.broadcast_to(ray.spec, shape),
+        ray_spec=ray_spec0,
         throughput=Vec3.ones(shape),
         alive=jnp.ones(shape, bool),
         accum=zero3,
@@ -93,6 +116,10 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         acc_emis=zero3,
         prev_was_specular=jnp.ones(shape, bool),
         path_still_specular=jnp.ones(shape, bool),
+        # env-MIS carries: pdf of the previous (non-specular) scatter and
+        # whether env NEE ran at the previous hit
+        prev_pdf=f32(0.0),
+        prev_did_nee=jnp.zeros(shape, bool),
         first_normal=zero3,
         first_depth=f32(1e30),
         first_object_id=jnp.full(shape, -1, jnp.int32),
@@ -136,8 +163,20 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
             s["first_transmission"])
 
         # -- sky on miss (path_logic.cuh:810-815) ---------------------------
+        # With env NEE on, BSDF-sampled sky hits are MIS-weighted against
+        # the env pdf for bounces whose origin hit also drew an env sample
+        # (standard two-strategy MIS; the reference has no env sampling so
+        # its sky weight is always 1 — that path is kept when env_nee=False).
         miss = alive & jnp.logical_not(hit.hit)
-        sky_c = sample_sky(d, sky) * throughput
+        if env_nee:
+            from ptrt_tpu.render.sky import env_pdf_dir
+
+            w_sky = jnp.where(
+                s["prev_did_nee"] & jnp.logical_not(s["prev_was_specular"]),
+                mis_weight(s["prev_pdf"], env_pdf_dir(sky, d)), 1.0)
+        else:
+            w_sky = 1.0
+        sky_c = sample_sky(d, sky) * throughput * w_sky
         s["accum"] = s["accum"] + where(miss, sky_c, zero3)
         sky_spec = s["path_still_specular"]
         s["acc_spec"] = s["acc_spec"] + where(miss & sky_spec, sky_c, zero3)
@@ -171,8 +210,33 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         s["acc_diff"] = s["acc_diff"] + where(route_diff, contrib_e, zero3)
 
         # -- NEE with MIS (path_logic.cuh:840-857) --------------------------
+        do_nee = alive & jnp.logical_not(s["ray_spec"])
+        if env_nee:
+            from ptrt_tpu.render.nee import sample_env_lighting
+
+            s["rays"] = s["rays"] + jnp.sum(do_nee.astype(jnp.float32))
+            if split:
+                rng_state, l_e, pdf_e, (env_d, env_s) = sample_env_lighting(
+                    rng_state, hit.point, hit.normal, hit.front_face, mat,
+                    d, sky, any_hit, split=True, active=do_nee)
+            else:
+                rng_state, l_e, pdf_e, env_c = sample_env_lighting(
+                    rng_state, hit.point, hit.normal, hit.front_face, mat,
+                    d, sky, any_hit, split=False, active=do_nee)
+            pdf_b_e = material_pdf(hit.normal, hit.front_face, mat, -d, l_e)
+            w_e = mis_weight(pdf_e, pdf_b_e)
+            gate_e = do_nee & (pdf_e > 0.0)
+            if split:
+                s["acc_diff"] = s["acc_diff"] + where(
+                    gate_e, throughput * env_d * w_e, zero3)
+                s["acc_spec"] = s["acc_spec"] + where(
+                    gate_e, throughput * env_s * w_e, zero3)
+                s["accum"] = s["accum"] + where(
+                    gate_e, throughput * (env_d + env_s) * w_e, zero3)
+            else:
+                s["accum"] = s["accum"] + where(
+                    gate_e, throughput * env_c * w_e, zero3)
         if n_lights > 0:
-            do_nee = alive & jnp.logical_not(s["ray_spec"])
             s["rays"] = s["rays"] + jnp.sum(do_nee.astype(jnp.float32))
             if split:
                 rng_state, l_nee, pdf_nee, (nee_d, nee_s) = (
@@ -203,6 +267,13 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         rng_state, sc = material_scatter(rng_state, hit.normal, hit.front_face,
                                          mat, d)
         alive = alive & sc.valid
+        if env_nee:
+            # pdf of the chosen scatter direction, for MIS-weighting a
+            # subsequent BSDF-sampled sky hit against the env sampler
+            s["prev_pdf"] = jnp.where(
+                alive, material_pdf(hit.normal, hit.front_face, mat, -d,
+                                    sc.direction), s["prev_pdf"])
+            s["prev_did_nee"] = jnp.where(alive, do_nee, s["prev_did_nee"])
         s["prev_was_specular"] = jnp.where(alive, sc.is_specular,
                                            s["prev_was_specular"])
         s["path_still_specular"] = s["path_still_specular"] & jnp.where(

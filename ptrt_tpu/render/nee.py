@@ -122,3 +122,42 @@ def sample_direct_lighting(state, point: Vec3, normal: Vec3, front_face, mat,
     bsdf = evaluate_bsdf(normal, front_face, mat, l, v)
     out = clamp_vector_soft(bsdf * radiance * scale, MAX_NEE_CONTRIBUTION)
     return state, l, pdf_sample, where(lit, out, Vec3.full(0.0))
+
+
+def sample_env_lighting(state, point: Vec3, normal: Vec3, front_face, mat,
+                        ray_dir: Vec3, sky, any_hit_fn, split: bool = False,
+                        active=None):
+    """One-sample env-map NEE via the alias sampler (render/sky.py).
+
+    Improvement over the reference (env map never importance-sampled,
+    SURVEY.md §7 defects): draws a direction proportional to env
+    luminance×sinθ, shadow-tests it, and returns the bsdf-weighted env
+    radiance over the sampling pdf.  MIS weighting against the BSDF pdf is
+    done by the caller (same contract as ``sample_direct_lighting``).
+
+    Returns (state, l, pdf_sa, contribution[, (diffuse, specular) if split]).
+    """
+    from ptrt_tpu.render.sky import sample_env
+
+    v = -ray_dir
+    state, l, pdf_sa, radiance = sample_env(state, sky)
+
+    offset = where(normal.dot(l) > 0.0, normal * 1e-4, normal * -1e-4)
+    shadow_t = jnp.full(jnp.shape(pdf_sa), 1e28)
+    if active is not None:
+        shadow_t = jnp.where(active, shadow_t, -1.0)
+    in_shadow = any_hit_fn(point + offset, l, shadow_t)
+
+    lit = jnp.logical_not(in_shadow) & (pdf_sa > 1e-12)
+    scale = 1.0 / jnp.maximum(pdf_sa, 1e-12)
+
+    if split:
+        bd, bs = evaluate_bsdf_split(normal, front_face, mat, l, v)
+        out_d = clamp_vector_soft(bd * radiance * scale, MAX_NEE_CONTRIBUTION)
+        out_s = clamp_vector_soft(bs * radiance * scale, MAX_NEE_CONTRIBUTION)
+        zero = Vec3.full(0.0)
+        return state, l, pdf_sa, (where(lit, out_d, zero),
+                                  where(lit, out_s, zero))
+    bsdf = evaluate_bsdf(normal, front_face, mat, l, v)
+    out = clamp_vector_soft(bsdf * radiance * scale, MAX_NEE_CONTRIBUTION)
+    return state, l, pdf_sa, where(lit, out, Vec3.full(0.0))

@@ -117,9 +117,11 @@ def _i32(col: jnp.ndarray) -> jnp.ndarray:
 _BITS8 = tuple(1 << k for k in range(8))
 
 
-def _fetch_node8(geom: SceneGeometry, nidx):
+def _fetch_node8(geom: SceneGeometry, nidx, octant=None):
     """8-wide node row (geometry/bvh8.py layout): slot AABBs (SoA inside the
-    row) + child_base_adj / leaf_base / leaf_mask / int_mask. One gather."""
+    row) + child_base_adj / leaf_base / leaf_mask / int_mask. One gather.
+    With ``octant`` (per-lane i32 in [0,8)), also returns the packed
+    near-first child visit order for that octant (cols 52:60)."""
     row = jnp.take(geom.node_rows, nidx, axis=0)  # (R, 64)
     bmin8 = (row[..., 0:8], row[..., 8:16], row[..., 16:24])
     bmax8 = (row[..., 24:32], row[..., 32:40], row[..., 40:48])
@@ -127,7 +129,48 @@ def _fetch_node8(geom: SceneGeometry, nidx):
     lb = _i32(row[..., 49])
     lmask = _i32(row[..., 50])
     imask = _i32(row[..., 51])
-    return bmin8, bmax8, cba, lb, lmask, imask
+    if octant is None:
+        return bmin8, bmax8, cba, lb, lmask, imask, None
+    # per-lane octant column select: 8-way where-chain (constant indices;
+    # take_along_axis and per-lane variable shifts are slow on the VPU)
+    ordcols = _i32(row[..., 52:60])
+    ordpack = jnp.zeros_like(nidx)
+    for o in range(8):
+        ordpack = jnp.where(octant == o, ordcols[..., o], ordpack)
+    return bmin8, bmax8, cba, lb, lmask, imask, ordpack
+
+
+_IDENTITY_ORD = sum(k << (3 * k) for k in range(8))  # slot k at rank k
+
+
+def _ray_octant(d: Vec3) -> jnp.ndarray:
+    """Octant index: bit a set when d[a] < 0 (matches bvh8.pack_node_rows)."""
+    return ((d.x < 0.0).astype(jnp.int32)
+            | ((d.y < 0.0).astype(jnp.int32) << 1)
+            | ((d.z < 0.0).astype(jnp.int32) << 2))
+
+
+def _rank_to_slot(rank: jnp.ndarray, ordpack: jnp.ndarray) -> jnp.ndarray:
+    """Slot id at visit rank ``rank`` — 8-way select, constant shifts only."""
+    slot = jnp.zeros_like(rank)
+    for k in range(8):
+        slot = jnp.where(rank == k, (ordpack >> (3 * k)) & 7, slot)
+    return slot
+
+
+def _slotmask_to_rankmask(m: jnp.ndarray, ordpack: jnp.ndarray) -> jnp.ndarray:
+    """Permute a slot-space bitmask into rank (visit-order) space: output
+    bit k set iff slot ``ord[k]`` is set in ``m``.  The internal-child mask
+    lives in rank space so the ordered walk visits via cheap LSB pops; all
+    shifts here are constant (per-lane variable shifts are slow)."""
+    out = jnp.zeros_like(m)
+    for k in range(8):
+        slot_k = (ordpack >> (3 * k)) & 7
+        bit = jnp.zeros_like(m)
+        for j in range(8):
+            bit = jnp.where(slot_k == j, (m >> j) & 1, bit)
+        out = out | (bit << k)
+    return out
 
 
 def _slab8(bmin8, bmax8, o: Vec3, inv_d: Vec3, t_max):
@@ -184,9 +227,16 @@ def _fetch_leaf(geom: SceneGeometry, leaf_block):
 # iteration.  COMPACT_STAGES bounds the recursion; the last stage runs to
 # completion, so results are EXACT (just reordered).  Batches below
 # MIN_COMPACT_LANES skip the machinery.
-PASS_MIN_ITERS = 2
-COMPACT_SHRINK = 8
-COMPACT_STAGES = 2
+import os as _os
+
+PASS_MIN_ITERS = int(_os.environ.get("PTRT_PASS_MIN_ITERS", "2"))
+COMPACT_SHRINK = int(_os.environ.get("PTRT_COMPACT_SHRINK", "8"))
+COMPACT_STAGES = int(_os.environ.get("PTRT_COMPACT_STAGES", "2"))
+# any-hit walks terminate on first hit, so their tails are short and flat:
+# one deeper compaction stage wins (TPU sweep, tools/sweep_compact.py:
+# 10.7 ms vs 13.0 ms at 230k lanes)
+ANY_COMPACT_SHRINK = int(_os.environ.get("PTRT_ANY_SHRINK", "16"))
+ANY_COMPACT_STAGES = int(_os.environ.get("PTRT_ANY_STAGES", "1"))
 MIN_COMPACT_LANES = 16384
 
 
@@ -198,7 +248,7 @@ def _pop_cur(st, iota_d):
     sel = iota_d[None, :] == spm1[:, None]
     top_a = jnp.sum(jnp.where(sel, st["stack_a"], 0), axis=1)
     top_b = jnp.sum(jnp.where(sel, st["stack_b"], 0), axis=1)
-    return dict(
+    out = dict(
         st,
         base_i=jnp.where(can_pop, (top_a >> 8) - 8, st["base_i"]),
         mask_i=jnp.where(can_pop, top_a & 0xFF, st["mask_i"]),
@@ -206,29 +256,46 @@ def _pop_cur(st, iota_d):
         mask_l=jnp.where(can_pop, top_b & 0xFF, st["mask_l"]),
         sp=jnp.where(can_pop, spm1, st["sp"]),
     )
+    if "stack_o" in st:
+        top_o = jnp.sum(jnp.where(sel, st["stack_o"], 0), axis=1)
+        out["ord_i"] = jnp.where(can_pop, top_o, st["ord_i"])
+    return out
 
 
-def _descend(st, geom, o, inv_d, t_bound, iota_d):
+def _descend(st, geom, o, inv_d, t_bound, iota_d, octant=None):
     """Node action: visit ONE pending internal child (one node-row gather),
     slab-test its 8 children, make them the new current entry (pushing the
-    remainder of the old entry if it still has pending bits)."""
+    remainder of the old entry if it still has pending bits).
+
+    With ``octant``, pending children are visited in the precomputed
+    near-first order (state carries ``ord_i`` + ``stack_o``): the nearest
+    child's subtree tightens t before farther siblings are slab-tested, so
+    they prune (the reference's ordered descent, ``intersection.cuh:385-418``,
+    lifted to the wide tree)."""
     base_i, mask_i = st["base_i"], st["mask_i"]
     base_l, mask_l = st["base_l"], st["mask_l"]
     sp = st["sp"]
     has_int = mask_i != 0
-    slot_i = _lsb_slot(mask_i)
+    if octant is None:
+        slot_i = _lsb_slot(mask_i)
+    else:
+        # mask_i lives in RANK space: LSB = next rank, then map to slot
+        slot_i = _rank_to_slot(_lsb_slot(mask_i), st["ord_i"])
     naddr = jnp.clip(base_i + slot_i, 0, geom.num_nodes - 1)
-    bmin8, bmax8, cba, lb, row_lmask, row_imask = _fetch_node8(geom, naddr)
+    bmin8, bmax8, cba, lb, row_lmask, row_imask, ordpack = _fetch_node8(
+        geom, naddr, octant)
     hitm = _hitmask8(_slab8(bmin8, bmax8, o, inv_d, t_bound))
     new_l = hitm & row_lmask
     new_i = hitm & row_imask
+    if octant is not None:
+        new_i = _slotmask_to_rankmask(new_i, ordpack)
     mask_i = mask_i & (mask_i - 1)  # consume the visited bit
     take_new = has_int & ((new_l | new_i) != 0)
     do_push = take_new & ((mask_i | mask_l) != 0)
     ent_a = ((base_i + 8) << 8) | mask_i
     ent_b = (base_l << 8) | mask_l
     sel = (iota_d[None, :] == sp[:, None]) & do_push[:, None]
-    return dict(
+    out = dict(
         st,
         stack_a=jnp.where(sel, ent_a[:, None], st["stack_a"]),
         stack_b=jnp.where(sel, ent_b[:, None], st["stack_b"]),
@@ -238,16 +305,22 @@ def _descend(st, geom, o, inv_d, t_bound, iota_d):
         base_l=jnp.where(take_new, lb, base_l),
         mask_l=jnp.where(take_new, new_l, mask_l),
     )
+    if octant is not None:
+        out["stack_o"] = jnp.where(sel, st["ord_i"][:, None], st["stack_o"])
+        out["ord_i"] = jnp.where(take_new, ordpack, st["ord_i"])
+    return out
 
 
 def _active(st):
     return ((st["mask_i"] | st["mask_l"]) != 0) | (st["sp"] > 0)
 
 
-def _run_walk(body, state, to_completion):
+def _run_walk(body, state, to_completion, shrink=None):
     """Drive the walk.  With ``to_completion`` False, stop as soon as the
-    unfinished lanes fit the 1/COMPACT_SHRINK tail buffer (but run at least
+    unfinished lanes fit the 1/shrink tail buffer (but run at least
     PASS_MIN_ITERS iterations)."""
+    if shrink is None:
+        shrink = COMPACT_SHRINK
 
     def cond_full(s):
         return jnp.any(_active(s[0]))
@@ -256,7 +329,7 @@ def _run_walk(body, state, to_completion):
         st, k = s
         act = _active(st)
         n_active = jnp.sum(act.astype(jnp.int32))
-        cap = jnp.size(st["sp"]) // COMPACT_SHRINK
+        cap = jnp.size(st["sp"]) // shrink
         return jnp.any(act) & ((k < PASS_MIN_ITERS) | (n_active > cap))
 
     cond = cond_full if to_completion else cond_capped
@@ -278,32 +351,47 @@ def _pack_active(active, small_n):
     return out.at[pos].set(lanes, mode="drop")
 
 
-def _compact_finish(loop_factory, state, o, d, extras=(), stages=1):
-    """Compact unfinished lanes into a 1/COMPACT_SHRINK buffer, continue
+def _compact_finish(loop_factory, state, o, d, extras=(), stages=1,
+                    result_keys=None, shrink=None):
+    """Compact unfinished lanes into a 1/shrink buffer, continue
     there (recursively re-compacting up to ``stages`` times), scatter results
     back.  ``extras`` are additional per-lane inputs (e.g. any-hit t_max).
-    All arrays are lane-major (axis 0 = lane)."""
+    All arrays are lane-major (axis 0 = lane).
+
+    ``result_keys``: after the tail RUNS TO COMPLETION its walk state
+    (masks/sp/stacks) is dead — only these keys are scattered back to the
+    full buffer (each skipped key saves one scatter op per stage)."""
+    if shrink is None:
+        shrink = COMPACT_SHRINK
     total = jnp.size(state["sp"])
-    small_n = total // COMPACT_SHRINK
+    small_n = total // shrink
     perm = _pack_active(_active(state), small_n)
     take = lambda a: jnp.take(a, perm, axis=0)
     small = jax.tree_util.tree_map(take, state)
     o_s = o.map(take)
     d_s = d.map(take)
     extras_s = tuple(take(e) for e in extras)
-    last = stages <= 1 or small_n // COMPACT_SHRINK < 1024
+    last = stages <= 1 or small_n // shrink < 1024
     small = loop_factory(small, o_s, d_s, *extras_s, to_completion=last)
     if not last:
         small = _compact_finish(loop_factory, small, o_s, d_s, extras_s,
-                                stages=stages - 1)
-    upd = lambda full, sm: full.at[perm].set(sm)
-    return jax.tree_util.tree_map(upd, state, small)
+                                stages=stages - 1, result_keys=result_keys,
+                                shrink=shrink)
+    if result_keys is None:
+        upd = lambda full, sm: full.at[perm].set(sm)
+        return jax.tree_util.tree_map(upd, state, small)
+    out = dict(state)
+    for k in result_keys:
+        out[k] = jax.tree_util.tree_map(
+            lambda full, sm: full.at[perm].set(sm), state[k], small[k])
+    return out
 
 
-def _init_walk_state(total: int, depth: int, live) -> dict:
+def _init_walk_state(total: int, depth: int, live,
+                     ordered: bool = False) -> dict:
     """Start every live lane at the root (node id 0 = base 0 + slot 0)."""
     z = jnp.zeros((total,), jnp.int32)
-    return dict(
+    st = dict(
         base_i=z,
         mask_i=jnp.where(live, 1, 0).astype(jnp.int32),
         base_l=z,
@@ -312,6 +400,10 @@ def _init_walk_state(total: int, depth: int, live) -> dict:
         stack_a=jnp.zeros((total, depth), jnp.int32),
         stack_b=jnp.zeros((total, depth), jnp.int32),
     )
+    if ordered:
+        st["ord_i"] = jnp.full((total,), _IDENTITY_ORD, jnp.int32)
+        st["stack_o"] = jnp.zeros((total, depth), jnp.int32)
+    return st
 
 
 # -- instance (two-level) helpers --------------------------------------------
@@ -354,20 +446,20 @@ def _slab1(bb_min, bb_max, o: Vec3, inv_d: Vec3, t_max):
 
 def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
     """Run the closest-hit walk over flat lanes; lanes with t0 <= 0 are
-    dead.  Returns the raw best-hit state (t/u/v/nrm/mesh), with ``nrm`` in
-    the geometry's own (possibly instance-local) space."""
+    dead.  Returns the best-hit state (t/u/v/nrm/mesh), with ``nrm`` in
+    the geometry's own (possibly instance-local) space.
+
+    The walk itself carries only (t, best) — ``best`` packs the winning
+    (tri block, slot) — and the hit ATTRIBUTES (u/v/normal/mesh id) are
+    reconstructed once afterwards from a single tri-row gather: per-
+    iteration state stays minimal (cheaper compaction + no per-iteration
+    attribute selects)."""
     total = jnp.size(t0)
     depth = geom.stack_depth
     iota_d = jnp.arange(depth, dtype=jnp.int32)
 
-    state = _init_walk_state(total, depth, t0 > 0.0)
-    state.update(
-        t=t0,
-        u=jnp.zeros((total,), jnp.float32),
-        v=jnp.zeros((total,), jnp.float32),
-        nrm=Vec3.zeros((total,)),
-        mesh=jnp.full((total,), -1, jnp.int32),
-    )
+    state = _init_walk_state(total, depth, t0 > 0.0, ordered=True)
+    state.update(t=t0, best=jnp.full((total,), -1, jnp.int32))
 
     def loop_fac(st, o_s, d_s, to_completion):
         return _run_walk(_make_closest_body(geom, o_s, d_s, iota_d), st,
@@ -377,8 +469,33 @@ def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
         s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, True)
     else:
         s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, False)
-        s = _compact_finish(loop_fac, s, o, d, stages=COMPACT_STAGES)
-    return s
+        s = _compact_finish(loop_fac, s, o, d, stages=COMPACT_STAGES,
+                            result_keys=("t", "best"))
+    return _reconstruct_hit(geom, o, d, s)
+
+
+def _reconstruct_hit(geom: SceneGeometry, o: Vec3, d: Vec3, s: dict) -> dict:
+    """(t, best) -> full hit state via ONE tri-row gather + single-triangle
+    MT recompute (exact: same triangle, same ray)."""
+    found = s["best"] >= 0
+    idx = jnp.maximum(s["best"], 0)
+    blk = idx // LEAF_SIZE
+    slot = idx - blk * LEAF_SIZE
+    v0, e1, e2, mesh_id, _ = _fetch_leaf(geom, blk)
+    sel = (jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :] == slot[:, None])
+    pick = lambda a: jnp.sum(jnp.where(sel, a, 0), axis=-1)
+    pick3 = lambda v: Vec3(pick(v.x), pick(v.y), pick(v.z))
+    v0s, e1s, e2s = pick3(v0), pick3(e1), pick3(e2)
+    _, _, uu, vv = _mt_test(v0s, e1s, e2s, o, d, 0.0, jnp.inf)
+    nrm = cross(e1s, e2s)
+    zero = jnp.zeros_like(uu)
+    return dict(
+        t=s["t"],
+        u=jnp.where(found, uu, zero),
+        v=jnp.where(found, vv, zero),
+        nrm=where(found, nrm, Vec3.zeros(jnp.shape(uu))),
+        mesh=jnp.where(found, pick(mesh_id), -1),
+    )
 
 
 def _merge_instance_closest(s, inst, o: Vec3, d: Vec3, inv_d: Vec3,
@@ -443,41 +560,36 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX) -> Hit:
 
 
 def _make_closest_body(geom, o, d, iota_d):
-    """Closest-hit body over explicit ray args (for the compacted tail)."""
+    """Closest-hit body over explicit ray args (for the compacted tail).
+    Leaf action records only (t, packed winner); attributes are
+    reconstructed after the walk (``_reconstruct_hit``)."""
     inv_d = _safe_inv(d)
+    octant = _ray_octant(d)
     oe = o.map(lambda c: c[:, None])
     de = d.map(lambda c: c[:, None])
 
     def body(s):
         st, k = s
         st = _pop_cur(st, iota_d)
-        best_t, best_u, best_v = st["t"], st["u"], st["v"]
-        best_nrm, best_mesh = st["nrm"], st["mesh"]
+        best_t = st["t"]
         has_leaf = st["mask_l"] != 0
         blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
                        geom.num_tri_blocks - 1)
         # one tri-row gather; MT vectorized across the whole block
         v0, e1, e2, mesh_id, _ = _fetch_leaf(geom, blk)
-        ok, t, uu, vv = _mt_test(v0, e1, e2, oe, de, T_MIN, best_t[:, None])
+        ok, t, _, _ = _mt_test(v0, e1, e2, oe, de, T_MIN, best_t[:, None])
         ok = ok & has_leaf[:, None] & (mesh_id >= 0)
         tm = jnp.where(ok, t, jnp.inf)
         tbest = jnp.min(tm, axis=-1)
         found = tbest < best_t
-        sel = (tm == tbest[:, None]) & ok
-        sel = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=-1) == 1)
-        pick = lambda a: jnp.sum(jnp.where(sel, a, 0), axis=-1)
-        nrm = cross(e1, e2)
+        slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
         st = dict(
             st,
             mask_l=st["mask_l"] & (st["mask_l"] - 1),
             t=jnp.where(found, tbest, best_t),
-            u=jnp.where(found, pick(uu), best_u),
-            v=jnp.where(found, pick(vv), best_v),
-            nrm=where(found, Vec3(pick(nrm.x), pick(nrm.y), pick(nrm.z)),
-                      best_nrm),
-            mesh=jnp.where(found, pick(mesh_id), best_mesh),
+            best=jnp.where(found, blk * LEAF_SIZE + slot, st["best"]),
         )
-        st = _descend(st, geom, o, inv_d, st["t"], iota_d)
+        st = _descend(st, geom, o, inv_d, st["t"], iota_d, octant)
         return st, k + 1
 
     return body
@@ -521,14 +633,17 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f) -> jnp.ndarray:
         return body
 
     def loop_fac(st, o_s, d_s, t_s, to_completion):
-        return _run_walk(make_body(o_s, d_s, t_s), st, to_completion)
+        return _run_walk(make_body(o_s, d_s, t_s), st, to_completion,
+                         shrink=ANY_COMPACT_SHRINK)
 
     if total < MIN_COMPACT_LANES:
         s = _run_walk(make_body(o, d, t_f), state, True)
     else:
-        s = _run_walk(make_body(o, d, t_f), state, False)
+        s = _run_walk(make_body(o, d, t_f), state, False,
+                      shrink=ANY_COMPACT_SHRINK)
         s = _compact_finish(loop_fac, s, o, d, extras=(t_f,),
-                            stages=COMPACT_STAGES)
+                            stages=ANY_COMPACT_STAGES, result_keys=("hit",),
+                            shrink=ANY_COMPACT_SHRINK)
     return s["hit"]
 
 

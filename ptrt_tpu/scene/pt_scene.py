@@ -333,10 +333,18 @@ class Scene:
 
     def _sky(self) -> SkyConfig:
         if self.env_map is not None:
-            sky = SkyConfig.hdri(self.env_map,
-                                 getattr(self, "env_rotation", 0.0))
-            return dataclasses.replace(
+            rot = getattr(self, "env_rotation", 0.0)
+            key = (id(self.env_map), rot, self.use_sky)
+            cached = getattr(self, "_sky_cache", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+            # builds the env alias/pdf importance tables once per env map
+            # (render/sky.py; the reference has no env importance sampling)
+            sky = SkyConfig.hdri(self.env_map, rot)
+            sky = dataclasses.replace(
                 sky, use_sky=jnp.float32(1.0 if self.use_sky else 0.0))
+            self._sky_cache = (key, sky)
+            return sky
         sky = SkyConfig.gradient(self.sky_color_top, self.sky_color_bottom)
         return dataclasses.replace(
             sky, use_sky=jnp.float32(1.0 if self.use_sky else 0.0))

@@ -15,7 +15,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 _CASES = [
     "metal_demo", "glass_demo", "material_showcase", "pt_lit_test",
-    "pt_material_matrix", "rt_cornell_box",
+    "pt_material_matrix", "rt_cornell_box", "denoised_cornell",
 ]
 
 
@@ -33,9 +33,9 @@ def test_golden(name):
         pytest.skip("golden not generated (run tools/make_golden.py)")
     golden = np.load(path)["img"]
 
-    from tools.make_golden import golden_scenes
+    from tools.make_golden import GOLDEN_H, GOLDEN_W, golden_scenes
 
-    img = np.asarray(golden_scenes(96, 54)[name]())
+    img = np.asarray(golden_scenes(GOLDEN_W, GOLDEN_H)[name]())
     assert img.shape == golden.shape
     psnr = _psnr(img, golden)
     assert psnr >= 35.0, f"{name}: PSNR {psnr:.1f} dB vs golden"

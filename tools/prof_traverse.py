@@ -76,9 +76,9 @@ def main():
 
     def fixed_iters(o, d, n_iters):
         t0 = jnp.full((R,), tv.T_MAX, jnp.float32)
-        state = tv._init_walk_state(R, geom.stack_depth, t0 > 0)
-        state.update(t=t0, u=jnp.zeros((R,)), v=jnp.zeros((R,)),
-                     nrm=Vec3.zeros((R,)), mesh=jnp.full((R,), -1, jnp.int32))
+        state = tv._init_walk_state(R, geom.stack_depth, t0 > 0,
+                                    ordered=True)
+        state.update(t=t0, best=jnp.full((R,), -1, jnp.int32))
         body = tv._make_closest_body(geom, o, d, iota)
 
         def b2(k, s):
