@@ -116,7 +116,10 @@ def init_denoiser_state(height: int, width: int) -> DenoiserState:
     hist = ChannelHistory(mean=z3, m2=z3, length=z)
     return DenoiserState(
         diffuse=hist, specular=hist, normal=z3,
-        depth=jnp.full((height, width), 1e30),
+        # strong-typed f32 (jnp.full with a Python scalar is WEAK-typed,
+        # which mismatches the frame program's output avals and forces a
+        # full retrace+recompile of the frame program on frame 2)
+        depth=jnp.full((height, width), 1e30, jnp.float32),
         object_id=jnp.full((height, width), -1, jnp.int32),
         first_frame=jnp.asarray(True),
     )
