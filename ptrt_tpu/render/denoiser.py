@@ -134,11 +134,15 @@ def _is_sky(depth, normal: Vec3, threshold):
 
 
 def _shift(a, dy: int, dx: int):
-    """Shifted copy with zero pad + validity mask (skip-OOB semantics)."""
+    """Shifted copy with zero pad + validity mask (skip-OOB semantics).
+    Shifts >= the image extent (à-trous dilation 16 -> ±32-pixel taps on a
+    sub-32-pixel image) are fully out of bounds -> all zeros."""
     h, w = a.shape[-2], a.shape[-1]
     out = jnp.zeros_like(a)
     ys0, ys1 = max(0, dy), min(h, h + dy)
     xs0, xs1 = max(0, dx), min(w, w + dx)
+    if ys0 >= ys1 or xs0 >= xs1:
+        return out
     src = a[..., ys0 - dy: ys1 - dy, xs0 - dx: xs1 - dx]
     out = out.at[..., ys0:ys1, xs0:xs1].set(src)
     return out
@@ -149,6 +153,8 @@ def _shift_mask(shape, dy: int, dx: int):
     m = jnp.zeros((h, w), bool)
     ys0, ys1 = max(0, dy), min(h, h + dy)
     xs0, xs1 = max(0, dx), min(w, w + dx)
+    if ys0 >= ys1 or xs0 >= xs1:
+        return m
     return m.at[ys0:ys1, xs0:xs1].set(True)
 
 

@@ -309,7 +309,23 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         for _ in range(max_depth):
             out = body(out)
     else:
-        out = jax.lax.while_loop(cond, body, init)
+        # chunked bounce loop: while_loop over CHUNK-bounce unrolled bodies.
+        # A while_loop whose body is ONE bounce makes XLA's TPU scheduler
+        # pathologically slow on this program (d16 compile: ~10 min; the
+        # fully-unrolled d6 program compiles in ~2 min) — chunking keeps the
+        # trip count small (ceil(depth/8)) with a d<=8-sized body, so deep
+        # presets (ultra d32, scene.cuh:1834-1842) compile like d8.
+        CHUNK = 8
+
+        def chunk_body(s):
+            for _ in range(CHUNK):
+                s = body(s)
+            return s
+
+        if max_depth % CHUNK == 0 and max_depth > CHUNK:
+            out = jax.lax.while_loop(cond, chunk_body, init)
+        else:
+            out = jax.lax.while_loop(cond, body, init)
 
     radiance = clamp_vector_soft(out["accum"], MAX_FINAL_RADIANCE)
     return out["state"], PathOutput(

@@ -373,9 +373,12 @@ class Scene:
             from ptrt_tpu.render.denoiser import init_denoiser_state
 
             self._denoiser_state = init_denoiser_state(rh, rw)
+        spp = int(self.perf.samples_per_pixel)
+        if spp > SPP_DISPATCH_MAX:
+            return self._render_frame_chunked(rh, rw, spp)
         fn = _frame_program(
             rw, rh, self.width, self.height,
-            self.perf.samples_per_pixel, self.perf.max_bounce_depth,
+            spp, self.perf.max_bounce_depth,
             bool(self.perf.enable_denoiser), bool(self.perf.enable_bloom),
             len(self.lights), self._use_brute(),
             self.env_map is not None,
@@ -386,6 +389,54 @@ class Scene:
             self._geom, self._mat_table, self._light_table, self._sky(),
             self.camera, self._rng_state, jnp.int32(self.frame_count),
             self.prev_view_proj, self._denoiser_state, self._blue_noise)
+        self.frame_count += 1
+        self.prev_view_proj = self.camera.get_view_proj()
+        return rgb8
+
+    def _render_frame_chunked(self, rh, rw, spp: int):
+        """High-spp frame as several trace dispatches + one post dispatch.
+
+        A single XLA program tracing 128+ spp (the ultra presets,
+        ``scene.cuh:1834-1842``) runs for minutes on one chip and can trip
+        device watchdogs; splitting the spp loop across dispatches keeps
+        each program short with identical math — chunk results are averaged
+        on device (weighted by chunk spp), G-buffers come from chunk 0, and
+        the per-chunk frame_idx offset keeps TAA/blue-noise jitters unique
+        across the whole sample set."""
+        depth = int(self.perf.max_bounce_depth)
+        n_lights = len(self.lights)
+        brute = self._use_brute()
+        has_env = self.env_map is not None
+        rr_on = bool(self.perf.enable_russian_roulette)
+        rr_start = int(self.perf.russian_roulette_start_bounce)
+        denoise = bool(self.perf.enable_denoiser)
+
+        chunks = []
+        left = spp
+        while left > 0:
+            c = min(left, SPP_DISPATCH_MAX)
+            chunks.append(c)
+            left -= c
+
+        acc = None
+        off = 0
+        for k, c in enumerate(chunks):
+            fn = _trace_split(rw, rh, c, depth, n_lights, brute, has_env,
+                              denoise, rr_on, rr_start)
+            self._rng_state, bufs = fn(
+                self._geom, self._mat_table, self._light_table, self._sky(),
+                self.camera, self._rng_state,
+                jnp.int32(self.frame_count + off), self._blue_noise)
+            w = jnp.float32(c / spp)
+            acc = (_init_accum(bufs, w) if k == 0
+                   else _accum_bufs(acc, bufs, w))
+            off += c
+
+        post = _post_program(rw, rh, self.width, self.height, denoise,
+                             bool(self.perf.enable_bloom))
+        rgb8, self._denoiser_state = post(
+            acc, self.camera, jnp.int32(self.frame_count),
+            self.prev_view_proj, self._denoiser_state)
         self.frame_count += 1
         self.prev_view_proj = self.camera.get_view_proj()
         return rgb8
@@ -508,6 +559,80 @@ def _trace_only(rw, rh, spp, depth, n_lights, use_brute, has_env):
                                   blue_noise_tbl=bn)
         _trace_cache[key] = jax.jit(fn)
     return _trace_cache[key]
+
+
+# one trace dispatch handles at most this many spp; beyond it the frame is
+# split into several dispatches (ultra presets: 128/256 spp) so no single
+# device program runs long enough to trip watchdog/RPC deadlines
+SPP_DISPATCH_MAX = 16
+
+_trace_split_cache: dict = {}
+_post_cache: dict = {}
+
+
+def _trace_split(rw, rh, spp, depth, n_lights, use_brute, has_env, split,
+                 rr_enabled, rr_start):
+    key = (rw, rh, spp, depth, n_lights, use_brute, has_env, split,
+           rr_enabled, rr_start)
+    if key not in _trace_split_cache:
+        def fn(geom, mats, lights, sky, camera, rng_state, frame_idx, bn):
+            return pl.trace_frame(geom, mats, lights, n_lights, sky, camera,
+                                  rng_state, frame_idx, rw, rh, spp, depth,
+                                  split=split, use_brute=use_brute,
+                                  blue_noise_tbl=bn, rr_enabled=rr_enabled,
+                                  rr_start=rr_start)
+        _trace_split_cache[key] = jax.jit(fn)
+    return _trace_split_cache[key]
+
+
+@jax.jit
+def _init_accum(bufs, w):
+    """Chunk 0 of a chunked-spp frame: color channels pre-scaled by the
+    chunk's sample share; G-buffers pass through (sample-0 semantics)."""
+    return bufs._replace(color=bufs.color * w, diffuse=bufs.diffuse * w,
+                         specular=bufs.specular * w,
+                         emission=bufs.emission * w)
+
+
+@jax.jit
+def _accum_bufs(acc, bufs, w):
+    """Weighted add of a later chunk's color channels; G-buffers keep
+    chunk 0's; ray counts sum."""
+    return acc._replace(
+        color=acc.color + bufs.color * w,
+        diffuse=acc.diffuse + bufs.diffuse * w,
+        specular=acc.specular + bufs.specular * w,
+        emission=acc.emission + bufs.emission * w,
+        rays_traced=acc.rays_traced + bufs.rays_traced,
+    )
+
+
+def _post_program(rw, rh, full_w, full_h, denoise, bloom):
+    """Post half of the frame pipeline (motion vectors -> SVGF -> bloom ->
+    upscale -> tonemap) as its own dispatch, fed by accumulated trace
+    buffers."""
+    key = (rw, rh, full_w, full_h, denoise, bloom)
+    if key in _post_cache:
+        return _post_cache[key]
+
+    from ptrt_tpu.render.denoiser import denoise_frame
+    from ptrt_tpu.render.motion import motion_vectors
+    from ptrt_tpu.render.bloom import apply_bloom
+
+    def fn(bufs, camera, frame_idx, prev_view_proj, den_state):
+        current = bufs.color
+        if denoise:
+            mv = motion_vectors(bufs.depth, camera, prev_view_proj, rw, rh)
+            current, den_state = denoise_frame(bufs, mv, den_state, camera,
+                                               frame_idx)
+        if bloom:
+            current = apply_bloom(current)
+        if (rh, rw) != (full_h, full_w):
+            current = pl.upscale_bilinear(current, full_h, full_w)
+        return pl.tonemap_to_rgb8(current), den_state
+
+    _post_cache[key] = jax.jit(fn)
+    return _post_cache[key]
 
 
 def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
