@@ -90,8 +90,11 @@ class Mesh:
         rr, ss = np.meshgrid(np.arange(rings), np.arange(sectors), indexing="ij")
         curr = rr * (sectors + 1) + ss
         nxt = curr + sectors + 1
-        f1 = np.stack([curr, nxt, curr + 1], axis=-1)
-        f2 = np.stack([curr + 1, nxt, nxt + 1], axis=-1)
+        # wind so cross(e1, e2) points OUTWARD: front_face must be true for
+        # rays arriving from outside (the Beer-Lambert interior gate and the
+        # glass eta selection key off it, path_logic.cuh:823-829)
+        f1 = np.stack([curr, curr + 1, nxt], axis=-1)
+        f2 = np.stack([curr + 1, nxt + 1, nxt], axis=-1)
         faces = np.concatenate([f1.reshape(-1, 3), f2.reshape(-1, 3)], axis=0)
         return Mesh.from_arrays(verts, faces)
 
