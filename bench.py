@@ -28,16 +28,18 @@ import numpy as np  # noqa: E402
 
 def main() -> None:
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    # Defaults sized so the whole bench (incl. tunnel compile, which can take
-    # minutes) finishes in ~5 min on one chip; scale up via env for longer
-    # runs (PTRT_BENCH_W=1920 PTRT_BENCH_H=1080 PTRT_BENCH_TRIS=1000000).
-    w = int(os.environ.get("PTRT_BENCH_W", 640 if on_tpu else 256))
-    h = int(os.environ.get("PTRT_BENCH_H", 360 if on_tpu else 144))
+    # Default: the BASELINE interactive config at reference scale — 1080p,
+    # 4 spp, depth 4 on the ~1M-triangle showcase stand-in.  Compile through
+    # the dev tunnel can take minutes cold (the persistent cache makes
+    # repeat runs fast); scale down via env for quick checks
+    # (PTRT_BENCH_W=640 PTRT_BENCH_H=360 PTRT_BENCH_TRIS=20000).
+    w = int(os.environ.get("PTRT_BENCH_W", 1920 if on_tpu else 256))
+    h = int(os.environ.get("PTRT_BENCH_H", 1080 if on_tpu else 144))
     spp = int(os.environ.get("PTRT_BENCH_SPP", 4))
     depth = int(os.environ.get("PTRT_BENCH_DEPTH", 4))
     tris = int(os.environ.get("PTRT_BENCH_TRIS",
-                              20_000 if on_tpu else 20_000))
-    frames = int(os.environ.get("PTRT_BENCH_FRAMES", 8 if on_tpu else 4))
+                              1_000_000 if on_tpu else 20_000))
+    frames = int(os.environ.get("PTRT_BENCH_FRAMES", 4 if on_tpu else 4))
 
     from ptrt_tpu.app.bench_scene import build_bench_scene
 

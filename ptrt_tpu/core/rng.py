@@ -39,6 +39,16 @@ def seed(x: jnp.ndarray, y: jnp.ndarray, frame) -> jnp.ndarray:
     return state
 
 
+def fold(state: jnp.ndarray, salt) -> jnp.ndarray:
+    """Derive a decorrelated sub-stream: golden-ratio salt mix + one PCG
+    advance.  Used to give each spp sample its own stream when a frame's
+    samples are traced as ONE wavefront instead of a sequential spp loop."""
+    s = jnp.asarray(state, jnp.uint32) ^ (
+        jnp.asarray(salt, jnp.uint32) * jnp.uint32(0x9E3779B9))
+    s, _ = uniform(s)
+    return s
+
+
 def uniform(state: jnp.ndarray):
     """One PCG step -> float32 in [0, 1) (``sampling.cuh:59-64``)."""
     state = state * jnp.uint32(747796405) + jnp.uint32(2891336453)

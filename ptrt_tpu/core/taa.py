@@ -43,7 +43,7 @@ def taa_jitter(frame_index):
     """
     idx = jnp.asarray(frame_index, jnp.int32) % TAA_SEQUENCE_LENGTH
     h = _HALTON_16[idx]
-    return h[0] - 0.5, h[1] - 0.5
+    return h[..., 0] - 0.5, h[..., 1] - 0.5
 
 
 def taa_jitter_ndc(frame_index, width: int, height: int):

@@ -43,55 +43,81 @@ class FrameBuffers(NamedTuple):
     rays_traced: jnp.ndarray  # scalar (all spp)
 
 
+# lane budget for one traced wavefront.  All spp samples of a frame trace
+# TOGETHER as one flat wavefront up to this cap (batches beyond it run
+# sequentially): one tail compaction instead of one per spp, and no
+# fori_loop around the integrator.  Measured on v5e: per-lane gather cost
+# rises past ~2M lanes (HBM pressure from the (lanes, 96) leaf-gather
+# intermediates), so batches are capped just above one 1080p sample.
+import os as _os
+
+MAX_WAVEFRONT_LANES = int(_os.environ.get("PTRT_MAX_WAVEFRONT",
+                                          "2200000"))
+
+
 def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
                 rng_state, frame_index, width: int, height: int, spp: int,
                 max_depth: int, split: bool, use_brute: bool,
                 blue_noise_tbl, rr_enabled: bool = True,
                 rr_start: int = 2) -> tuple:
-    """``path_trace_kernel`` equivalent (``scene_kernels.cuh:120-194``):
-    spp-loop of jittered primary rays through the wavefront integrator.
+    """``path_trace_kernel`` equivalent (``scene_kernels.cuh:120-194``).
+
+    The reference's per-thread spp loop becomes an spp AXIS on the wavefront
+    (reduced at the end): the traversal tail is paid once per frame instead
+    of once per sample.  Each sample keeps its own decorrelated PCG stream
+    (``prng.fold``) and its own TAA/blue-noise jitter, so the estimator
+    matches the sequential loop statistically.
 
     Returns (rng_state, FrameBuffers).
     """
     ys, xs = jnp.mgrid[0:height, 0:width]
 
-    def sample(s, carry):
-        state, acc = carry
-        jx_t, jy_t = taa_jitter(frame_index + s)
-        bx, by = next_blue_noise(blue_noise_tbl, xs, ys, frame_index + s)
-        jitter_x = jx_t + (bx - 0.5) * 0.25
-        jitter_y = jy_t + (by - 0.5) * 0.25
-        sg, tg = pixel_grid(width, height, 0.5 + jitter_x, 0.5 + jitter_y)
-        state, ray = camera.get_ray(sg, tg, state)
-        state, out = trace_path(geom, materials, lights, n_lights, sky, ray,
-                                state, max_depth, split=split,
-                                use_brute=use_brute, rr_enabled=rr_enabled,
-                                rr_start=rr_start)
-        acc_color, acc_d, acc_s, acc_e, rays, first = acc
-        acc_color = acc_color + out.radiance
-        acc_d = acc_d + out.diffuse
-        acc_s = acc_s + out.specular
-        acc_e = acc_e + out.emission
-        rays = rays + out.rays_traced
-        # G-buffers from sample 0 (scene_kernels.cuh:180-185)
-        first = jax.tree_util.tree_map(
-            lambda f, n: jnp.where(s == 0, n, f), first,
-            (out.first_normal, out.first_depth, out.first_object_id,
-             out.first_roughness, out.first_transmission))
-        return state, (acc_color, acc_d, acc_s, acc_e, rays, first)
+    batch = max(1, min(spp, MAX_WAVEFRONT_LANES // (width * height)))
 
-    zero3 = Vec3.zeros((height, width))
-    first0 = (zero3, jnp.full((height, width), 1e30),
-              jnp.full((height, width), -1, jnp.int32),
-              jnp.ones((height, width)), jnp.zeros((height, width)))
-    init = (rng_state, (zero3, zero3, zero3, zero3, jnp.float32(0.0), first0))
-    if spp == 1:
-        state, acc = sample(0, init)
-    else:
-        state, acc = jax.lax.fori_loop(0, spp, sample, init)
+    def trace_batch(s0: int, sb: int):
+        """Trace samples [s0, s0+sb) as one (sb, H, W) wavefront."""
+        s_idx = jnp.arange(s0, s0 + sb)
+        fidx = frame_index + s_idx  # (sb,)
+        jx_t, jy_t = taa_jitter(fidx)  # (sb,)
+        bx, by = next_blue_noise(blue_noise_tbl, xs, ys,
+                                 fidx[:, None, None])  # (sb, H, W)
+        jitter_x = jx_t[:, None, None] + (bx - 0.5) * 0.25
+        jitter_y = jy_t[:, None, None] + (by - 0.5) * 0.25
+        sg, tg = pixel_grid(width, height, 0.5 + jitter_x, 0.5 + jitter_y)
+        sub = prng.fold(rng_state, s_idx[:, None, None] + 1)  # (sb, H, W)
+        sub, ray = camera.get_ray(sg, tg, sub)
+        _, out = trace_path(geom, materials, lights, n_lights, sky, ray,
+                            sub, max_depth, split=split,
+                            use_brute=use_brute, rr_enabled=rr_enabled,
+                            rr_start=rr_start)
+        return out
+
+    acc = None
+    s0 = 0
+    while s0 < spp:
+        sb = min(batch, spp - s0)
+        out = trace_batch(s0, sb)
+        mean0 = lambda c: jnp.sum(c, axis=0)
+        part = (out.radiance.map(mean0), out.diffuse.map(mean0),
+                out.specular.map(mean0), out.emission.map(mean0),
+                out.rays_traced)
+        if acc is None:
+            first = (out.first_normal.map(lambda c: c[0]),
+                     out.first_depth[0], out.first_object_id[0],
+                     out.first_roughness[0], out.first_transmission[0])
+            acc = part + (first,)
+        else:
+            acc = tuple(
+                jax.tree_util.tree_map(jnp.add, a, p)
+                for a, p in zip(acc[:5], part)) + (acc[5],)
+        s0 += sb
+
     color, diff, spec, emis, rays, first = acc
     inv = 1.0 / float(spp)
     normal, depth, objid, rough, trans = first
+    # the persistent per-pixel stream advances once per frame; sample streams
+    # are derived from it, so one step decorrelates successive frames
+    state, _ = prng.uniform(rng_state)
     return state, FrameBuffers(
         color=color * inv, diffuse=diff * inv, specular=spec * inv,
         emission=emis * inv, normal=normal, depth=depth, object_id=objid,

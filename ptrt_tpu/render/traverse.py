@@ -229,7 +229,10 @@ def _fetch_leaf(geom: SceneGeometry, leaf_block):
 # MIN_COMPACT_LANES skip the machinery.
 import os as _os
 
-PASS_MIN_ITERS = int(_os.environ.get("PTRT_PASS_MIN_ITERS", "2"))
+# 0: pass 1 exits (or never runs) the moment the active count fits the tail
+# buffer — bounce-2+ and NEE walks start mostly-dead, and forcing even two
+# full-width iterations on them wastes ~44 ms per call at 1080p
+PASS_MIN_ITERS = int(_os.environ.get("PTRT_PASS_MIN_ITERS", "0"))
 COMPACT_SHRINK = int(_os.environ.get("PTRT_COMPACT_SHRINK", "8"))
 COMPACT_STAGES = int(_os.environ.get("PTRT_COMPACT_STAGES", "2"))
 # any-hit walks terminate on first hit, so their tails are short and flat:
@@ -237,6 +240,12 @@ COMPACT_STAGES = int(_os.environ.get("PTRT_COMPACT_STAGES", "2"))
 # 10.7 ms vs 13.0 ms at 230k lanes)
 ANY_COMPACT_SHRINK = int(_os.environ.get("PTRT_ANY_SHRINK", "16"))
 ANY_COMPACT_STAGES = int(_os.environ.get("PTRT_ANY_STAGES", "1"))
+# closest-walk shrink at megapixel scale: per-lane gather cost grows with
+# buffer size past ~1M lanes, so letting pass 1 run a bit longer and
+# compacting straight into a 1/12 buffer wins (1080p sweep: 264 ms vs 322
+# at shrink 8, 345 at 16); small wavefronts keep the 230k-lane optimum 8
+BIG_COMPACT_SHRINK = int(_os.environ.get("PTRT_BIG_SHRINK", "12"))
+BIG_COMPACT_LANES = 1_000_000
 MIN_COMPACT_LANES = 16384
 
 
@@ -461,16 +470,20 @@ def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
     state = _init_walk_state(total, depth, t0 > 0.0, ordered=True)
     state.update(t=t0, best=jnp.full((total,), -1, jnp.int32))
 
+    shrink = (BIG_COMPACT_SHRINK if total >= BIG_COMPACT_LANES
+              else COMPACT_SHRINK)
+
     def loop_fac(st, o_s, d_s, to_completion):
         return _run_walk(_make_closest_body(geom, o_s, d_s, iota_d), st,
-                         to_completion)
+                         to_completion, shrink=shrink)
 
     if total < MIN_COMPACT_LANES:
         s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, True)
     else:
-        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, False)
+        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, False,
+                      shrink=shrink)
         s = _compact_finish(loop_fac, s, o, d, stages=COMPACT_STAGES,
-                            result_keys=("t", "best"))
+                            result_keys=("t", "best"), shrink=shrink)
     return _reconstruct_hit(geom, o, d, s)
 
 

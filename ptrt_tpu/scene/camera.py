@@ -180,6 +180,7 @@ def pixel_grid(width: int, height: int, jitter_x=0.5, jitter_y=0.5):
     ys = jnp.arange(height, dtype=jnp.float32)[:, None]
     s = (xs + jitter_x) / float(width)
     t = (ys + jitter_y) / float(height)
-    s = jnp.broadcast_to(s, (height, width))
-    t = jnp.broadcast_to(t, (height, width))
-    return s, t
+    # jitters may carry leading batch dims (e.g. an spp axis) — broadcast
+    # both to the common shape ending in (H, W)
+    shape = jnp.broadcast_shapes(jnp.shape(s), jnp.shape(t), (height, width))
+    return jnp.broadcast_to(s, shape), jnp.broadcast_to(t, shape)

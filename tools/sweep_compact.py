@@ -23,10 +23,11 @@ from ptrt_tpu.app.bench_scene import build_bench_scene
 from ptrt_tpu.core.vec import Vec3, normalize
 from ptrt_tpu.render import traverse as tv
 
-sc = build_bench_scene(640, 360, target_tris=20000)
+import os as _o
+sc = build_bench_scene(int(_o.environ.get("SW_W","640")), int(_o.environ.get("SW_H","360")), target_tris=int(_o.environ.get("SW_TRIS","20000")))
 sc._ensure_device_state()
 geom = sc._geom
-R = 640 * 360
+R = int(_o.environ.get("SW_W","640")) * int(_o.environ.get("SW_H","360"))
 rng = np.random.default_rng(0)
 o = Vec3(*[jnp.asarray(rng.normal(size=R).astype(np.float32) * 0.5 + c)
            for c in (0.0, 1.5, 6.0)])
@@ -66,13 +67,12 @@ def run(pmi, shrink, stages):
 
 
 if __name__ == "__main__":
-    for pmi, shrink, stages in [
-        (2, 8, 2),   # current default
-        (2, 4, 2),
-        (2, 4, 3),
-        (1, 4, 3),
-        (2, 16, 1),
-        (2, 8, 1),
-        (3, 8, 2),
-    ]:
+    import os
+    cfgs = os.environ.get("SW_CFGS")
+    if cfgs:
+        combos = [tuple(int(x) for x in c.split("-")) for c in cfgs.split(",")]
+    else:
+        combos = [(2, 8, 2), (2, 4, 2), (2, 4, 3), (1, 4, 3), (2, 16, 1),
+                  (2, 8, 1), (3, 8, 2)]
+    for pmi, shrink, stages in combos:
         run(pmi, shrink, stages)
