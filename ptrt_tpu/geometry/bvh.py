@@ -28,7 +28,9 @@ import numpy as np
 # 8 triangles per leaf: measured sweet spot on TPU v5e — the (R, 96)-wide
 # tri-row gather + 8-wide vectorized MT test per iteration beats both 16
 # (wider rows + MT cost, same iteration count) and 4 (deeper tree)
-LEAF_SIZE = 8
+import os as _os
+
+LEAF_SIZE = int(_os.environ.get("PTRT_LEAF_SIZE", "8"))
 
 
 @dataclass

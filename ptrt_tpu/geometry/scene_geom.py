@@ -40,8 +40,10 @@ class SceneGeometry:
     * ``node_rows`` (N, 64): 8-wide BVH node — eight child AABBs (SoA within
       the row) + bitcast(child_base_adj, leaf_base, leaf_mask, int_mask);
       layout documented in geometry/bvh8.py.
-    * ``tri_rows`` (B, LEAF_SIZE*12): per triangle [v0(3) e1(3) e2(3)
-      bitcast(mesh_id) shadow_opaque pad] — a whole leaf in one gather.
+    * ``tri_rows`` (B, LEAF_SIZE*10): per triangle [v0(3) e1(3) e2(3)
+      bitcast((mesh_id << 1) | shadow_opaque)] — a whole leaf in one
+      gather, 80 floats instead of 96 (gathered bytes per iteration are
+      the traversal's dominant cost).
 
     The SoA component views (v0/e1/e2/...) are kept for the gather-free
     brute-force path and for debug.
@@ -49,7 +51,7 @@ class SceneGeometry:
 
     # packed traversal tables
     node_rows: jnp.ndarray  # (N, 64) f32
-    tri_rows: jnp.ndarray  # (B, LEAF_SIZE*12) f32
+    tri_rows: jnp.ndarray  # (B, LEAF_SIZE*10) f32
     # triangles, leaf-block order, padded (length M) — brute-force path
     v0: Vec3
     e1: Vec3
@@ -144,20 +146,23 @@ def assemble_geometry(meshes: list[Mesh],
     # lock-step iteration count, the dominant cost) drops ~3x vs binary.
     node_rows = pack_node_rows(bvh)
 
-    # -- packed triangle-block rows (B, 12*leaf_size), SoA WITHIN the row ---
-    # Field-major layout [v0x*L v0y*L v0z*L e1x*L ... mesh_id*L opaque*L
-    # pad*L]: the traversal reshapes a gathered row to (R, 12, L) and slices
-    # whole fields along the middle (major) axis — contiguous (R, L) views
-    # that vectorize the Möller–Trumbore test across the block.  Interleaved
-    # per-triangle layout would need L*12 single-column extracts, each a
-    # cross-lane relayout (~22x slower, measured).
+    # -- packed triangle-block rows (B, 10*leaf_size), SoA WITHIN the row ---
+    # Field-major layout [v0x*L v0y*L v0z*L e1x*L ... packed_id*L]: the
+    # traversal reshapes a gathered row to (R, 10, L) and slices whole
+    # fields along the middle (major) axis — contiguous (R, L) views that
+    # vectorize the Möller–Trumbore test across the block.  Interleaved
+    # per-triangle layout would need L*10 single-column extracts, each a
+    # cross-lane relayout (~22x slower, measured).  mesh_id and the shadow
+    # opacity bit share one bitcast i32 ((id << 1) | opaque; id -1 = pad)
+    # so the row stays at 10 fields — the gathered bytes per iteration are
+    # the traversal's dominant cost.
     n_blocks = max(1, pmid.shape[0] // leaf_size)
+    packed_id = ((pmid.astype(np.int32) << 1)
+                 | opaque.astype(np.int32)).view(np.float32)
     fields = [pv0[:, 0], pv0[:, 1], pv0[:, 2],
               e1[:, 0], e1[:, 1], e1[:, 2],
               e2[:, 0], e2[:, 1], e2[:, 2],
-              pmid.astype(np.int32).view(np.float32),
-              opaque.astype(np.float32),
-              np.zeros(pmid.shape[0], np.float32)]
+              packed_id]
     tri_rows = np.concatenate(
         [np.asarray(f, np.float32).reshape(n_blocks, leaf_size)
          for f in fields], axis=1)

@@ -205,15 +205,17 @@ def _lsb_slot(mask: jnp.ndarray) -> jnp.ndarray:
 def _fetch_leaf(geom: SceneGeometry, leaf_block):
     """One gathered tri-block row -> SoA (R, L) field views (field-major
     row layout, see scene_geom.assemble_geometry).  Slicing the middle axis
-    of the (R, 12, L) reshape keeps fields contiguous — no per-column
-    relayouts — so the MT test runs vectorized across the whole block."""
+    of the (R, 10, L) reshape keeps fields contiguous — no per-column
+    relayouts — so the MT test runs vectorized across the whole block.
+    Field 9 packs ((mesh_id << 1) | shadow_opaque)."""
     blk = jnp.take(geom.tri_rows, jnp.maximum(leaf_block, 0), axis=0)
-    f = blk.reshape(blk.shape[:-1] + (12, LEAF_SIZE))
+    f = blk.reshape(blk.shape[:-1] + (10, LEAF_SIZE))
     v0 = Vec3(f[..., 0, :], f[..., 1, :], f[..., 2, :])
     e1 = Vec3(f[..., 3, :], f[..., 4, :], f[..., 5, :])
     e2 = Vec3(f[..., 6, :], f[..., 7, :], f[..., 8, :])
-    mesh_id = _i32(f[..., 9, :])
-    opaque = f[..., 10, :] > 0.5
+    packed = _i32(f[..., 9, :])
+    mesh_id = packed >> 1  # arithmetic shift keeps pad ids negative
+    opaque = (packed & 1) == 1
     return v0, e1, e2, mesh_id, opaque
 
 
