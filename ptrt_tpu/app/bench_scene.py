@@ -23,9 +23,14 @@ def build_bench_scene(width: int, height: int,
     sc.set_sky_gradient((0.35, 0.45, 0.65), (0.05, 0.05, 0.08))
 
     grid = 4  # 4x4 objects + floor
-    per_obj = max(200, target_tris // (grid * grid))
-    # lat-long sphere: 2*seg^2 tris
-    seg = max(8, int(np.sqrt(per_obj / 2)))
+    # (gx + gz) % 3 == 2 cells are 12-tri cubes; the rest are lat-long
+    # spheres (2*seg^2 tris each) that must carry essentially the whole
+    # triangle budget.  Round seg UP so the scene always reaches the target
+    # (the reference showcase is ~1M tris, readme.txt:18).
+    n_spheres = sum(1 for gz in range(grid) for gx in range(grid)
+                    if (gx + gz) % 3 != 2)
+    per_sphere = max(200, target_tris // max(n_spheres, 1))
+    seg = max(8, int(np.ceil(np.sqrt(per_sphere / 2.0))))
 
     mats = [
         Materials.Gold(), Materials.PlasticRed(), Materials.Glass(),

@@ -127,10 +127,15 @@ addEventListener('mousemove',e=>{if(locked){mdx+=e.movementX;mdy-=e.movementY;}}
 setInterval(send,50);
 </script></body></html>"""
 
-    def __init__(self, width: int, height: int, port: int = 8734):
+    def __init__(self, width: int, height: int, port: int = 8734,
+                 host: str = "127.0.0.1"):
+        # localhost-only by default: the frame stream and the /input
+        # injection endpoint should not be reachable from the network
+        # unless explicitly opted in (dev tunnels forward localhost fine)
         import http.server
 
         self.port = port
+        self.host = host
         self.closed = False
         self._frame_jpeg = b""
         self._frame_event = threading.Condition()
@@ -198,7 +203,7 @@ setInterval(send,50);
                 self.send_response(204)
                 self.end_headers()
 
-        self._server = http.server.ThreadingHTTPServer(("0.0.0.0", port),
+        self._server = http.server.ThreadingHTTPServer((self.host, port),
                                                        Handler)
         self._thread = threading.Thread(target=self._server.serve_forever,
                                         daemon=True)

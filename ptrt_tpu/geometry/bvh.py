@@ -30,7 +30,24 @@ import numpy as np
 # (wider rows + MT cost, same iteration count) and 4 (deeper tree)
 import os as _os
 
-LEAF_SIZE = int(_os.environ.get("PTRT_LEAF_SIZE", "8"))
+
+def _env_int(name: str, default: int, lo: int, hi: int) -> int:
+    """Tuning constant from the environment, validated at import — a stray
+    PTRT_*=0 or out-of-range value would otherwise crash obscurely deep in
+    packing or silently change device numerics between build and bench."""
+    raw = _os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        v = int(raw)
+    except ValueError as e:
+        raise ValueError(f"{name}={raw!r} is not an integer") from e
+    if not lo <= v <= hi:
+        raise ValueError(f"{name}={v} out of sane range [{lo}, {hi}]")
+    return v
+
+
+LEAF_SIZE = _env_int("PTRT_LEAF_SIZE", 8, 1, 64)
 
 
 @dataclass

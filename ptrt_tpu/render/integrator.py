@@ -133,7 +133,10 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
 
     def body(s):
         bounce = s["bounce"]
-        alive = s["alive"]
+        # depth guard: the chunked loop below runs the body in CHUNK-sized
+        # groups, so the final chunk can overshoot max_depth — those extra
+        # bodies must be no-ops (dead lanes trace nothing and add nothing)
+        alive = s["alive"] & (bounce < max_depth)
         o, d = s["o"], s["d"]
         throughput = s["throughput"]
         rng_state = s["state"]
@@ -322,7 +325,9 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
                 s = body(s)
             return s
 
-        if max_depth % CHUNK == 0 and max_depth > CHUNK:
+        if max_depth > CHUNK:
+            # any depth > CHUNK chunks (not just multiples of CHUNK): the
+            # body's bounce < max_depth guard makes overshoot bounces no-ops
             out = jax.lax.while_loop(cond, chunk_body, init)
         else:
             out = jax.lax.while_loop(cond, body, init)

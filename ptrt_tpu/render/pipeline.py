@@ -49,10 +49,10 @@ class FrameBuffers(NamedTuple):
 # fori_loop around the integrator.  Measured on v5e: per-lane gather cost
 # rises past ~2M lanes (HBM pressure from the (lanes, 96) leaf-gather
 # intermediates), so batches are capped just above one 1080p sample.
-import os as _os
+from ptrt_tpu.geometry.bvh import _env_int
 
-MAX_WAVEFRONT_LANES = int(_os.environ.get("PTRT_MAX_WAVEFRONT",
-                                          "2200000"))
+MAX_WAVEFRONT_LANES = _env_int("PTRT_MAX_WAVEFRONT", 2_200_000,
+                               1024, 1 << 28)
 
 
 def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,

@@ -166,8 +166,11 @@ def sample_env(state, sky: SkyConfig):
     gather + one pdf gather).  Returns (state, l, pdf_sa, radiance).
 
     The direction is jittered uniformly within the chosen importance texel;
-    radiance is the full-res bilinear env fetch along l (exact), pdf is the
-    texel's solid-angle pdf (exact for this procedure).
+    radiance is the full-res bilinear env fetch along l (exact).  The pdf
+    of this procedure varies WITHIN the texel as 1/sin(theta) (uniform in
+    (u, v), not in solid angle), so the tabulated row-center pdf is
+    corrected by sin(theta_center)/sin(theta_sampled) — the same formula
+    ``env_pdf_dir`` applies, keeping both MIS strategies consistent.
     """
     from ptrt_tpu.core import rng as prng
 
@@ -194,7 +197,10 @@ def sample_env(state, sky: SkyConfig):
     sin_t = jnp.sin(theta)
     l = Vec3(sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi))
 
-    pdf = jnp.take(sky.env_pdf, j, axis=0)
+    # texel-center sin (the tabulated pdf's normalization) -> per-direction
+    sin_c = jnp.sin((ty.astype(jnp.float32) + 0.5) * (PI / sh))
+    pdf = (jnp.take(sky.env_pdf, j, axis=0)
+           * sin_c / jnp.maximum(sin_t, 1e-6))
     radiance = sample_sky(l, sky)
     return state, l, pdf, radiance
 
@@ -209,7 +215,11 @@ def env_pdf_dir(sky: SkyConfig, dir: Vec3) -> jnp.ndarray:
     v = theta * (1.0 / PI)
     tx = jnp.clip((u * sw).astype(jnp.int32), 0, sw - 1)
     ty = jnp.clip((v * sh).astype(jnp.int32), 0, sh - 1)
-    return jnp.take(sky.env_pdf, ty * sw + tx, axis=0)
+    # same within-texel 1/sin(theta) correction as sample_env
+    sin_c = jnp.sin((ty.astype(jnp.float32) + 0.5) * (PI / sh))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - dir.y * dir.y, 0.0))
+    return (jnp.take(sky.env_pdf, ty * sw + tx, axis=0)
+            * sin_c / jnp.maximum(sin_t, 1e-6))
 
 
 def sample_sky(dir: Vec3, sky: SkyConfig) -> Vec3:

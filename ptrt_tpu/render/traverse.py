@@ -229,24 +229,24 @@ def _fetch_leaf(geom: SceneGeometry, leaf_block):
 # iteration.  COMPACT_STAGES bounds the recursion; the last stage runs to
 # completion, so results are EXACT (just reordered).  Batches below
 # MIN_COMPACT_LANES skip the machinery.
-import os as _os
+from ptrt_tpu.geometry.bvh import _env_int
 
 # 0: pass 1 exits (or never runs) the moment the active count fits the tail
 # buffer — bounce-2+ and NEE walks start mostly-dead, and forcing even two
 # full-width iterations on them wastes ~44 ms per call at 1080p
-PASS_MIN_ITERS = int(_os.environ.get("PTRT_PASS_MIN_ITERS", "0"))
-COMPACT_SHRINK = int(_os.environ.get("PTRT_COMPACT_SHRINK", "8"))
-COMPACT_STAGES = int(_os.environ.get("PTRT_COMPACT_STAGES", "2"))
+PASS_MIN_ITERS = _env_int("PTRT_PASS_MIN_ITERS", 0, 0, 1024)
+COMPACT_SHRINK = _env_int("PTRT_COMPACT_SHRINK", 8, 2, 256)
+COMPACT_STAGES = _env_int("PTRT_COMPACT_STAGES", 2, 1, 8)
 # any-hit walks terminate on first hit, so their tails are short and flat:
 # one deeper compaction stage wins (TPU sweep, tools/sweep_compact.py:
 # 10.7 ms vs 13.0 ms at 230k lanes)
-ANY_COMPACT_SHRINK = int(_os.environ.get("PTRT_ANY_SHRINK", "16"))
-ANY_COMPACT_STAGES = int(_os.environ.get("PTRT_ANY_STAGES", "1"))
+ANY_COMPACT_SHRINK = _env_int("PTRT_ANY_SHRINK", 16, 2, 256)
+ANY_COMPACT_STAGES = _env_int("PTRT_ANY_STAGES", 1, 1, 8)
 # closest-walk shrink at megapixel scale: per-lane gather cost grows with
 # buffer size past ~1M lanes, so letting pass 1 run a bit longer and
 # compacting straight into a 1/12 buffer wins (1080p sweep: 264 ms vs 322
 # at shrink 8, 345 at 16); small wavefronts keep the 230k-lane optimum 8
-BIG_COMPACT_SHRINK = int(_os.environ.get("PTRT_BIG_SHRINK", "12"))
+BIG_COMPACT_SHRINK = _env_int("PTRT_BIG_SHRINK", 12, 2, 256)
 BIG_COMPACT_LANES = 1_000_000
 MIN_COMPACT_LANES = 16384
 

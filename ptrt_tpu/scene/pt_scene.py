@@ -334,16 +334,19 @@ class Scene:
     def _sky(self) -> SkyConfig:
         if self.env_map is not None:
             rot = getattr(self, "env_rotation", 0.0)
-            key = (id(self.env_map), rot, self.use_sky)
+            # the cache holds the env_map array itself and validates with
+            # `is` — id() can be reused by CPython after a GC, serving stale
+            # importance tables for a different HDRI
             cached = getattr(self, "_sky_cache", None)
-            if cached is not None and cached[0] == key:
-                return cached[1]
+            if (cached is not None and cached[0] is self.env_map
+                    and cached[1] == (rot, self.use_sky)):
+                return cached[2]
             # builds the env alias/pdf importance tables once per env map
             # (render/sky.py; the reference has no env importance sampling)
             sky = SkyConfig.hdri(self.env_map, rot)
             sky = dataclasses.replace(
                 sky, use_sky=jnp.float32(1.0 if self.use_sky else 0.0))
-            self._sky_cache = (key, sky)
+            self._sky_cache = (self.env_map, (rot, self.use_sky), sky)
             return sky
         sky = SkyConfig.gradient(self.sky_color_top, self.sky_color_bottom)
         return dataclasses.replace(
@@ -384,6 +387,7 @@ class Scene:
             self.env_map is not None,
             bool(self.perf.enable_russian_roulette),
             int(self.perf.russian_roulette_start_bounce),
+            bool(self.perf.enable_motion_vectors),
         )
         rgb8, self._rng_state, self._denoiser_state = fn(
             self._geom, self._mat_table, self._light_table, self._sky(),
@@ -433,7 +437,8 @@ class Scene:
             off += c
 
         post = _post_program(rw, rh, self.width, self.height, denoise,
-                             bool(self.perf.enable_bloom))
+                             bool(self.perf.enable_bloom),
+                             bool(self.perf.enable_motion_vectors))
         rgb8, self._denoiser_state = post(
             acc, self.camera, jnp.int32(self.frame_count),
             self.prev_view_proj, self._denoiser_state)
@@ -607,11 +612,12 @@ def _accum_bufs(acc, bufs, w):
     )
 
 
-def _post_program(rw, rh, full_w, full_h, denoise, bloom):
+def _post_program(rw, rh, full_w, full_h, denoise, bloom,
+                  motion_vectors_on=True):
     """Post half of the frame pipeline (motion vectors -> SVGF -> bloom ->
     upscale -> tonemap) as its own dispatch, fed by accumulated trace
     buffers."""
-    key = (rw, rh, full_w, full_h, denoise, bloom)
+    key = (rw, rh, full_w, full_h, denoise, bloom, motion_vectors_on)
     if key in _post_cache:
         return _post_cache[key]
 
@@ -622,7 +628,11 @@ def _post_program(rw, rh, full_w, full_h, denoise, bloom):
     def fn(bufs, camera, frame_idx, prev_view_proj, den_state):
         current = bufs.color
         if denoise:
-            mv = motion_vectors(bufs.depth, camera, prev_view_proj, rw, rh)
+            if motion_vectors_on:
+                mv = motion_vectors(bufs.depth, camera, prev_view_proj,
+                                    rw, rh)
+            else:
+                mv = jnp.zeros((rh, rw, 2), jnp.float32)
             current, den_state = denoise_frame(bufs, mv, den_state, camera,
                                                frame_idx)
         if bloom:
@@ -636,9 +646,10 @@ def _post_program(rw, rh, full_w, full_h, denoise, bloom):
 
 
 def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
-                   n_lights, use_brute, has_env, rr_enabled=True, rr_start=2):
+                   n_lights, use_brute, has_env, rr_enabled=True, rr_start=2,
+                   motion_vectors_on=True):
     key = (rw, rh, full_w, full_h, spp, depth, denoise, bloom, n_lights,
-           use_brute, has_env, rr_enabled, rr_start)
+           use_brute, has_env, rr_enabled, rr_start, motion_vectors_on)
     if key in _frame_cache:
         return _frame_cache[key]
 
@@ -658,7 +669,14 @@ def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
         if denoise:
             if den_state is None:
                 den_state = init_denoiser_state(rh, rw)
-            mv = motion_vectors(bufs.depth, camera, prev_view_proj, rw, rh)
+            if motion_vectors_on:
+                mv = motion_vectors(bufs.depth, camera, prev_view_proj,
+                                    rw, rh)
+            else:
+                # MV and the denoiser are independent settings
+                # (scene.cuh:189-200): with MV off, temporal reprojection
+                # assumes a static camera (zero motion)
+                mv = jnp.zeros((rh, rw, 2), jnp.float32)
             current, den_state = denoise_frame(bufs, mv, den_state, camera,
                                                frame_idx)
         if bloom:

@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Round-3 traversal profiling: decompose walk cost into (a) gather cost as
+a function of TABLE SIZE / width / dtype, (b) lock-step work efficiency
+(active-width profile per iteration), (c) per-lane visit distribution.
+
+Round-2 in-situ numbers hint gather cost scales with table bytes, not row
+width (node 3MB table: 3.4 ns/idx; tri 27MB table: 11.8 ns/idx at 2M
+lanes) — if true, bf16 rows (half the table) are a real lever even though
+row WIDTH is free.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PTRT_JAX_CACHE", "/tmp/ptrt_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from ptrt_tpu.app.bench_scene import build_bench_scene
+from ptrt_tpu.core.vec import Vec3, normalize
+from ptrt_tpu.render import traverse as tv
+
+
+def timeit(fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps
+
+
+def part_a(R=2_200_000):
+    """Gather ns/idx vs table size x width x dtype.
+
+    The consumer is a slab-test-like reduction mixing per-LANE state with
+    the gathered row, chained K deep so each gather depends on the last —
+    XLA cannot factor a per-row reduction through the gather (the round-2
+    microbench trap: take(t,i).sum(1) compiles to take(rowsum(t), i))."""
+    K = 4
+    rng = np.random.default_rng(0)
+    lane = jnp.asarray(rng.normal(size=(R,)).astype(np.float32))
+    print(f"-- A: gather cost vs table size/width/dtype at {R} indices, "
+          f"chain K={K} --")
+
+    def chain(i0, t, rows):
+        def body(k, carry):
+            i, acc = carry
+            row = jnp.take(t, i, axis=0).astype(jnp.float32)
+            # per-lane mix: (row - lane) * lane, folded via min/max pairs
+            lo = jnp.min(jnp.maximum(row[:, 0:8], lane[:, None]), axis=1)
+            hi = jnp.max(jnp.minimum(row[:, 8:16], lane[:, None]), axis=1)
+            m = (lo <= hi).astype(jnp.int32)
+            i2 = (i * 1664525 + 1013904223 + m) % rows
+            return (i2, acc + lo - hi)
+        _, acc = jax.lax.fori_loop(0, K, body, (i0, jnp.zeros((R,))))
+        return acc
+
+    for dtype, dname in ((np.float32, "f32"), (np.float16, "f16")):
+        for rows, width in ((12_000, 64), (48_000, 64), (96_000, 64),
+                            (96_000, 80), (384_000, 64), (384_000, 16),
+                            (384_000, 80), (1_500_000, 64)):
+            tbl = jnp.asarray(rng.normal(size=(rows, width)).astype(dtype))
+            idx = jnp.asarray(rng.integers(0, rows, R).astype(np.int32))
+            f = jax.jit(lambda i, t, n=rows: chain(i, t, n))
+            ms = timeit(f, idx, tbl) * 1e3 / K
+            mb = rows * width * np.dtype(dtype).itemsize / 1e6
+            print(f"  {dname} ({rows:>9},{width:>3}) {mb:7.1f} MB: "
+                  f"{ms:8.2f} ms/gather  {ms*1e6/R:6.2f} ns/idx  "
+                  f"{R*width*np.dtype(dtype).itemsize/ms*1e3/1e9:6.1f} GB/s")
+
+
+def _camera_rays(sc, R):
+    rh, rw = sc.render_size
+    cam = sc.camera
+    ys = (np.arange(R) // rw) % rh
+    xs = np.arange(R) % rw
+    u = jnp.asarray((xs + 0.5) / rw, jnp.float32)
+    v = jnp.asarray((ys + 0.5) / rh, jnp.float32)
+    rb = cam.get_ray_simple(u, v)
+    o = rb.origin.map(lambda c: jnp.broadcast_to(c, (R,)))
+    d = rb.direction
+    return o, d
+
+
+def _random_rays(R):
+    rng = np.random.default_rng(1)
+    o = Vec3(*[jnp.asarray(rng.uniform(-5, 5, R).astype(np.float32) + c)
+               for c in (0.0, 1.0, 6.0)])
+    d = normalize(Vec3(*[jnp.asarray(rng.normal(size=R).astype(np.float32))
+                         for _ in range(3)]))
+    return o, d
+
+
+def part_b(sc, R=2_200_000):
+    """Walk baselines + active-width profile."""
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    print(f"-- B: walks at {R} lanes, nodes={g.num_nodes} "
+          f"blocks={g.num_tri_blocks} "
+          f"node_tbl={g.node_rows.nbytes/1e6:.1f}MB "
+          f"tri_tbl={g.tri_rows.nbytes/1e6:.1f}MB --")
+    for name, (o, d) in (("camera", _camera_rays(sc, R)),
+                         ("random", _random_rays(R))):
+        f = jax.jit(lambda oo, dd: tv.intersect_closest(g, oo, dd).t)
+        ms = timeit(f, o, d, reps=5) * 1e3
+        print(f"  closest {name}: {ms:8.1f} ms "
+              f"({R/ms*1e3/1e6:6.1f} Mrays/s)")
+        fa = jax.jit(lambda oo, dd: tv.intersect_any(
+            g, oo, dd, jnp.full((R,), 30.0)))
+        ms = timeit(fa, o, d, reps=5) * 1e3
+        print(f"  any     {name}: {ms:8.1f} ms "
+              f"({R/ms*1e3/1e6:6.1f} Mrays/s)")
+
+
+def part_c(sc, R=2_200_000):
+    """Host-stepped body: per-iteration active width -> work efficiency."""
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    o, d = _camera_rays(sc, R)
+    iota_d = jnp.arange(g.stack_depth, dtype=jnp.int32)
+    state = tv._init_walk_state(R, g.stack_depth, jnp.ones((R,), bool),
+                                ordered=True)
+    state.update(t=jnp.full((R,), 1e30), best=jnp.full((R,), -1, jnp.int32))
+    body = tv._make_closest_body(g, o, d, iota_d)
+
+    step = jax.jit(lambda s: body((s, jnp.int32(0)))[0])
+    count = jax.jit(lambda s: jnp.sum(tv._active(s).astype(jnp.int32)))
+    leafw = jax.jit(lambda s: jnp.sum((s["mask_l"] != 0).astype(jnp.int32)))
+
+    widths, leaf_useful = [], []
+    s = state
+    t_full = timeit(step, s, reps=3)
+    for it in range(400):
+        n = int(count(s))
+        if n == 0:
+            break
+        widths.append(n)
+        leaf_useful.append(int(leafw(s)))
+        s = step(s)
+    widths = np.array(widths)
+    lw = np.array(leaf_useful)
+    print(f"-- C: camera-walk profile ({R} lanes) --")
+    print(f"  full-width iteration time: {t_full*1e3:.2f} ms")
+    print(f"  iterations to drain: {len(widths)}")
+    print(f"  sum(active)/R = {widths.sum()/R:.2f} (per-lane iters if "
+          f"perfectly compacted)")
+    print(f"  active width percentiles: "
+          f"p50={np.percentile(widths,50)/R:.3f} "
+          f"p90={np.percentile(widths,90)/R:.3f} (frac of R)")
+    print(f"  leaf-gather useful fraction (mask_l!=0): "
+          f"{lw.sum()/max(widths.sum(),1):.2f}")
+    # lock-step cost model: iters x cost(width). vs ideal: sum(active) at
+    # marginal per-index cost
+    print(f"  width profile head: {[round(wv/R,3) for wv in widths[:20]]}")
+    print(f"  width profile tail: {[round(wv/R,4) for wv in widths[-10:]]}")
+
+
+def _main():
+    which = os.environ.get("PARTS", "abc")
+    R = int(os.environ.get("R", 2_200_000))
+    tris = int(os.environ.get("TRIS", 1_000_000))
+    if "a" in which:
+        part_a(R)
+    if set(which) & set("bcd"):
+        sc = build_bench_scene(1920, 1080, target_tris=tris)
+        sc._ensure_device_state()
+        if "b" in which:
+            part_b(sc, R)
+        if "c" in which:
+            part_c(sc, R)
+        if "d" in which:
+            part_d(sc, R)
+
+
+def part_d(sc, R=2_200_000):
+    """Ablate the closest-body cost at full width: gathers vs slab/MT vs
+    stack machinery."""
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    o, d = _camera_rays(sc, R)
+    iota_d = jnp.arange(g.stack_depth, dtype=jnp.int32)
+    state = tv._init_walk_state(R, g.stack_depth, jnp.ones((R,), bool),
+                                ordered=True)
+    state.update(t=jnp.full((R,), 1e30), best=jnp.full((R,), -1, jnp.int32))
+    body = tv._make_closest_body(g, o, d, iota_d)
+    step = jax.jit(lambda s: body((s, jnp.int32(0)))[0])
+    # advance two steps so masks/stacks are in a generic configuration
+    s2 = step(step(state))
+    print(f"-- D: body ablation at {R} lanes --")
+    print(f"  full body: {timeit(step, s2, reps=10)*1e3:7.2f} ms")
+
+    inv_d = tv._safe_inv(d)
+    octant = tv._ray_octant(d)
+    oe = o.map(lambda c: c[:, None])
+    de = d.map(lambda c: c[:, None])
+
+    def node_part(s):
+        blk = jnp.clip(s["base_i"] + tv._lsb_slot(s["mask_i"]), 0,
+                       g.num_nodes - 1)
+        bmin8, bmax8, cba, lb, lm, im, op = tv._fetch_node8(g, blk, octant)
+        hitm = tv._hitmask8(tv._slab8(bmin8, bmax8, o, inv_d, s["t"]))
+        return hitm & im & lm, cba + lb, op
+
+    def leaf_part(s):
+        blk = jnp.clip(s["base_l"] + tv._lsb_slot(s["mask_l"]), 0,
+                       g.num_tri_blocks - 1)
+        v0, e1, e2, mid, _ = tv._fetch_leaf(g, blk)
+        ok, t, _, _ = tv._mt_test(v0, e1, e2, oe, de, tv.T_MIN,
+                                  s["t"][:, None])
+        tm = jnp.where(ok & (mid >= 0), t, jnp.inf)
+        return jnp.min(tm, axis=-1), jnp.argmin(tm, axis=-1)
+
+    def stack_part(s):
+        s = dict(s)
+        s = tv._pop_cur(s, iota_d)
+        st = tv._descend(s, g, o, inv_d, s["t"], iota_d, octant)
+        return st["sp"], st["mask_i"], st["base_i"]
+
+    print(f"  node gather+slab+ord: "
+          f"{timeit(jax.jit(node_part), s2, reps=10)*1e3:7.2f} ms")
+    print(f"  leaf gather+MT:       "
+          f"{timeit(jax.jit(leaf_part), s2, reps=10)*1e3:7.2f} ms")
+    print(f"  pop+descend (incl node gather): "
+          f"{timeit(jax.jit(stack_part), s2, reps=10)*1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+    _main()
