@@ -150,6 +150,47 @@ def sync_scene(u: UnifiedScene, pt_scene, state: GameState) -> None:
     UnifiedSceneBuilder.update_pt_scene(pt_scene, u)
 
 
+def derive_scene(state: GameState, base_rot, base_scale):
+    """Game state -> per-instance TRS (dynamic-mesh order: player,
+    obstacles, pickups) — the fused-frame scene update (games/fused.py).
+    Collected pickups hide by dropping far below the track (the data-side
+    equivalent of the reference's hidden-handle scale collapse,
+    ``PTRTtransfer.cuh:2281-2295``)."""
+    from ptrt_tpu.games.fused import DerivedScene
+
+    player = jnp.stack([state.player_x, jnp.float32(0.0),
+                        jnp.float32(PLAYER_Z)])[None, :]
+    obst = jnp.stack([state.obstacle_x,
+                      jnp.zeros_like(state.obstacle_x),
+                      state.obstacle_z], axis=-1)
+    pk_y = jnp.where(state.pickup_alive, 0.2, -100.0)
+    pick = jnp.stack([state.pickup_x, pk_y, state.pickup_z], axis=-1)
+    pos = jnp.concatenate([player, obst, pick], axis=0)
+    return DerivedScene(pos=pos, rot=base_rot, scale=base_scale)
+
+
+def run_fused(n_frames: int = 60, width: int = 640, height: int = 360,
+              preset: str = "fast", present=None):
+    """The north-star loop: step+scene-update+render as ONE XLA program
+    per frame, zero host scene edits.  Returns (state, fps, last_rgb8)."""
+    from ptrt_tpu.games.fused import FusedRunner
+
+    u, scene = build_scene(width, height)
+    scene.set_performance_preset(preset)
+    dyn = [m for m in scene.meshes if m.is_dynamic]
+    base_rot = jnp.asarray(np.stack([m.transform.rotation for m in dyn]),
+                           jnp.float32)
+    base_scale = jnp.asarray(np.stack([m.transform.scale for m in dyn]),
+                             jnp.float32)
+    runner = FusedRunner(
+        scene,
+        step_fn=lambda s, inp: step(s, inp[0], inp[1]),
+        derive_fn=lambda s: derive_scene(s, base_rot, base_scale))
+    dt = jnp.float32(1.0 / 30.0)
+    inputs = lambda i: (jnp.float32(np.sin(i * 0.2)), dt)
+    return runner.run(init_state(), inputs, n_frames, present=present)
+
+
 def run_headless(n_steps: int = 30, width: int = 160, height: int = 90,
                  render_every: int = 10, preset: str = "fast"):
     """Drive the game loop; returns (final_state, frames list)."""

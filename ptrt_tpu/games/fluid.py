@@ -101,6 +101,38 @@ def build_scene(width: int = 320, height: int = 180, n: int = 24) -> tuple:
     return u, UnifiedSceneBuilder.build_pt_scene(u), state
 
 
+def derive_scene(state: FluidState):
+    """Fluid state -> scene update: identity TRS + a device BVH refit of
+    the surface BLAS from the new heightfield (games/fused.py).  The whole
+    geometry update runs inside the fused frame program — the reference
+    rebuilt this mesh's BVH on the CPU every frame."""
+    from ptrt_tpu.games.fused import DerivedScene
+
+    tris = heightfield_to_triangles(state.height)
+    return DerivedScene(
+        pos=jnp.zeros((1, 3), jnp.float32),
+        rot=jnp.zeros((1, 3), jnp.float32),
+        scale=jnp.ones((1, 3), jnp.float32),
+        refits={0: (tris[:, 0], tris[:, 1], tris[:, 2])})
+
+
+def run_fused(n_frames: int = 30, width: int = 320, height: int = 180,
+              grid: int = 24, preset: str = "fast", present=None):
+    """step + refit + render as one XLA program; returns (state, fps,
+    last rgb8)."""
+    from ptrt_tpu.games.fused import FusedRunner
+
+    u, scene, state = build_scene(width, height, grid)
+    scene.set_performance_preset(preset)
+    runner = FusedRunner(
+        scene,
+        step_fn=lambda s, dt_: step(s, dt_, jnp.float32(6.0),
+                                    jnp.float32(0.995)),
+        derive_fn=derive_scene)
+    dt = jnp.float32(1.0 / 30.0)
+    return runner.run(state, lambda i: dt, n_frames, present=present)
+
+
 def run_headless(n_steps: int = 20, width: int = 160, height: int = 90,
                  grid: int = 24, render_every: int = 10):
     u, scene, state = build_scene(width, height, grid)

@@ -167,7 +167,7 @@ def assemble_geometry(meshes: list[Mesh],
         [np.asarray(f, np.float32).reshape(n_blocks, leaf_size)
          for f in fields], axis=1)
 
-    return SceneGeometry(
+    out = SceneGeometry(
         node_rows=jnp.asarray(node_rows),
         tri_rows=jnp.asarray(tri_rows),
         v0=dvec(pv0),
@@ -177,6 +177,10 @@ def assemble_geometry(meshes: list[Mesh],
         tri_shadow_opaque=jnp.asarray(opaque),
         stack_depth=int(bvh.max_depth) + 2,
     )
+    # build-time leaf order, host-side only (device refit plans need the
+    # original-tri -> leaf-slot mapping; geometry/refit.py)
+    object.__setattr__(out, "_host_order", np.asarray(bvh.order))
+    return out
 
 
 # -- two-level world: static BLAS + dynamic instances ------------------------
@@ -215,14 +219,137 @@ class Instance:
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
+class InstanceSet:
+    """All dynamic instances merged for ONE batched walk.
+
+    The reference's TLAS walk is one tree regardless of instance count
+    (``intersection.cuh:526-605``); the round-2 per-instance unrolled loop
+    made program size and runtime linear in instances.  Here every
+    instance BLAS is concatenated into one node/tri table pair (child_base
+    / leaf_base columns offset-patched at merge time), so traversal is a
+    single walk whose lanes carry ``(ray, instance)`` work items — flat in
+    instance count.
+
+    ``geom``: the merged tables as a normal SceneGeometry (roots are NOT
+    at row 0; per-item roots come from ``roots``).
+    ``mats`` (I, 24): rows 0:12 world->local affine (3x4), 12:21 local->
+    world normal matrix (3x3), rest pad.
+    ``bb_min``/``bb_max`` (I, 3): world AABBs (the TLAS leaves).
+    """
+
+    geom: SceneGeometry
+    roots: jnp.ndarray  # (I,) int32 node-row index of each instance root
+    mats: jnp.ndarray  # (I, 24) f32
+    bb_min: jnp.ndarray  # (I, 3) f32
+    bb_max: jnp.ndarray  # (I, 3) f32
+
+    def tree_flatten(self):
+        return ((self.geom, self.roots, self.mats, self.bb_min,
+                 self.bb_max), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def count(self) -> int:
+        return int(self.roots.shape[0])
+
+
+def _patch_offsets(node_rows: np.ndarray, node_off: int,
+                   blk_off: int) -> np.ndarray:
+    """Add table offsets to the bitcast child_base/leaf_base columns of a
+    node-row block (cols 48/49, layout in geometry/bvh8.py)."""
+    out = node_rows.copy()
+    iv = out[:, 48:50].view(np.int32)
+    iv[:, 0] += node_off
+    iv[:, 1] += blk_off
+    return out
+
+
+def merge_instances(instances: tuple) -> InstanceSet | None:
+    """Concatenate per-instance BLAS tables into one batched set.  Pure
+    host work, done once per instance-set change; transform-only edits go
+    through ``update_instance_set_transforms`` (no re-concat)."""
+    if not instances:
+        return None
+    node_rows, tri_rows = [], []
+    roots = []
+    vx, vy, vz = [], [], []
+    e1x, e1y, e1z, e2x, e2y, e2z = [], [], [], [], [], []
+    mid, opq = [], []
+    node_off = blk_off = slot_off = 0
+    depth = 2
+    for inst in instances:
+        g = inst.geom
+        roots.append(node_off)
+        node_rows.append(_patch_offsets(np.asarray(g.node_rows), node_off,
+                                        blk_off))
+        tri_rows.append(np.asarray(g.tri_rows))
+        vx.append(np.asarray(g.v0.x)); vy.append(np.asarray(g.v0.y))
+        vz.append(np.asarray(g.v0.z))
+        e1x.append(np.asarray(g.e1.x)); e1y.append(np.asarray(g.e1.y))
+        e1z.append(np.asarray(g.e1.z))
+        e2x.append(np.asarray(g.e2.x)); e2y.append(np.asarray(g.e2.y))
+        e2z.append(np.asarray(g.e2.z))
+        mid.append(np.asarray(g.tri_mesh_id))
+        opq.append(np.asarray(g.tri_shadow_opaque))
+        node_off += g.num_nodes
+        blk_off += g.num_tri_blocks
+        slot_off += g.num_tri_slots
+        depth = max(depth, g.stack_depth)
+    geom = SceneGeometry(
+        node_rows=jnp.asarray(np.concatenate(node_rows)),
+        tri_rows=jnp.asarray(np.concatenate(tri_rows)),
+        v0=Vec3(*[jnp.asarray(np.concatenate(a)) for a in (vx, vy, vz)]),
+        e1=Vec3(*[jnp.asarray(np.concatenate(a)) for a in (e1x, e1y, e1z)]),
+        e2=Vec3(*[jnp.asarray(np.concatenate(a)) for a in (e2x, e2y, e2z)]),
+        tri_mesh_id=jnp.asarray(np.concatenate(mid)),
+        tri_shadow_opaque=jnp.asarray(np.concatenate(opq)),
+        stack_depth=depth,
+    )
+    mats, bmin, bmax = _instance_transform_tables(instances)
+    return InstanceSet(geom=geom, roots=jnp.asarray(np.asarray(roots,
+                                                               np.int32)),
+                       mats=mats, bb_min=bmin, bb_max=bmax)
+
+
+def _instance_transform_tables(instances: tuple):
+    I = len(instances)
+    mats = np.zeros((I, 24), np.float32)
+    bmin = np.zeros((I, 3), np.float32)
+    bmax = np.zeros((I, 3), np.float32)
+    for i, inst in enumerate(instances):
+        mats[i, 0:12] = np.asarray(inst.inv_rows, np.float32).reshape(12)
+        mats[i, 12:21] = np.asarray(inst.nrm_rows, np.float32).reshape(9)
+        bmin[i] = np.asarray(inst.bb_min, np.float32)
+        bmax[i] = np.asarray(inst.bb_max, np.float32)
+    return jnp.asarray(mats), jnp.asarray(bmin), jnp.asarray(bmax)
+
+
+def update_instance_set_transforms(iset: InstanceSet,
+                                   instances: tuple) -> InstanceSet:
+    """Matrix/AABB-only refresh — merged BLAS tables untouched (the
+    TLAS-update analog, ``scene.cuh:655-692``)."""
+    mats, bmin, bmax = _instance_transform_tables(instances)
+    return InstanceSet(geom=iset.geom, roots=iset.roots, mats=mats,
+                       bb_min=bmin, bb_max=bmax)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
 class WorldGeometry:
-    """Static world BLAS + dynamic instances; traversal dispatches on it."""
+    """Static world BLAS + batched dynamic instances; traversal dispatches
+    on it.  ``instances`` (per-instance BLAS + transform rows) is kept for
+    host-side caching and the brute-force path; the BVH path walks the
+    merged ``iset``."""
 
     static: SceneGeometry
     instances: tuple
+    iset: InstanceSet | None = None
 
     def tree_flatten(self):
-        return ((self.static, self.instances), None)
+        return ((self.static, self.instances, self.iset), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -273,4 +400,5 @@ def assemble_world(meshes: list[Mesh],
     instances = tuple(
         assemble_instance(m, i, material_transmission, leaf_size)
         for i, m in enumerate(meshes) if m.is_dynamic)
-    return WorldGeometry(static=sg, instances=instances)
+    return WorldGeometry(static=sg, instances=instances,
+                         iset=merge_instances(instances))

@@ -178,8 +178,9 @@ def _slab8(bmin8, bmax8, o: Vec3, inv_d: Vec3, t_max):
     Empty slots carry inverted boxes and can never pass."""
     oc = (o.x[..., None], o.y[..., None], o.z[..., None])
     ic = (inv_d.x[..., None], inv_d.y[..., None], inv_d.z[..., None])
-    t_enter = jnp.zeros_like(bmin8[0])
-    t_exit = jnp.broadcast_to(t_max[..., None], bmin8[0].shape)
+    shape = jnp.broadcast_shapes(bmin8[0].shape, oc[0].shape)
+    t_enter = jnp.zeros(shape, bmin8[0].dtype)
+    t_exit = jnp.broadcast_to(t_max[..., None], shape)
     for a in range(3):
         t0 = (bmin8[a] - oc[a]) * ic[a]
         t1 = (bmax8[a] - oc[a]) * ic[a]
@@ -204,16 +205,19 @@ def _lsb_slot(mask: jnp.ndarray) -> jnp.ndarray:
 
 def _fetch_leaf(geom: SceneGeometry, leaf_block):
     """One gathered tri-block row -> SoA (R, L) field views (field-major
-    row layout, see scene_geom.assemble_geometry).  Slicing the middle axis
-    of the (R, 10, L) reshape keeps fields contiguous — no per-column
-    relayouts — so the MT test runs vectorized across the whole block.
+    row layout, see scene_geom.assemble_geometry).  Fields are cut with
+    DIRECT 2D column slices of the (R, 10L) row — exactly like the node
+    row's slices — NOT via a (R, 10, L) reshape + middle-axis slice: the
+    3D reshape forces a Mosaic relayout of every field and measured 3x the
+    node path's cost at 2.2M lanes (tools/prof_r3.py part D).
     Field 9 packs ((mesh_id << 1) | shadow_opaque)."""
     blk = jnp.take(geom.tri_rows, jnp.maximum(leaf_block, 0), axis=0)
-    f = blk.reshape(blk.shape[:-1] + (10, LEAF_SIZE))
-    v0 = Vec3(f[..., 0, :], f[..., 1, :], f[..., 2, :])
-    e1 = Vec3(f[..., 3, :], f[..., 4, :], f[..., 5, :])
-    e2 = Vec3(f[..., 6, :], f[..., 7, :], f[..., 8, :])
-    packed = _i32(f[..., 9, :])
+    L = LEAF_SIZE
+    c = lambda k: blk[..., k * L:(k + 1) * L]
+    v0 = Vec3(c(0), c(1), c(2))
+    e1 = Vec3(c(3), c(4), c(5))
+    e2 = Vec3(c(6), c(7), c(8))
+    packed = _i32(c(9))
     mesh_id = packed >> 1  # arithmetic shift keeps pad ids negative
     opaque = (packed & 1) == 1
     return v0, e1, e2, mesh_id, opaque
@@ -417,6 +421,46 @@ def _init_walk_state(total: int, depth: int, live,
     return st
 
 
+def _seed_from_root(st: dict, geom: SceneGeometry, o: Vec3, d: Vec3,
+                    t0, octant=None) -> dict:
+    """Perform the root visit DENSELY: the root row is node_rows[0] — a
+    static slice broadcast against all lanes, so the walk's first iteration
+    (which would gather the identical root row per lane and run a wasted
+    leaf action) disappears.  Measured: the full-width iteration is the
+    single most expensive of the whole walk (~56 ms at 2.2M lanes), and
+    every lane pays it.
+
+    Equivalent to one ``_descend`` from the initial (base 0, mask 1) state
+    with an empty stack: no push can occur, the new current entry is the
+    root's slab-tested children."""
+    row = geom.node_rows[0]
+    bmin8 = (row[0:8], row[8:16], row[16:24])
+    bmax8 = (row[24:32], row[32:40], row[40:48])
+    meta = jax.lax.bitcast_convert_type(row[48:52], jnp.int32)
+    cba, lb, lmask, imask = meta[0], meta[1], meta[2], meta[3]
+    inv_d = _safe_inv(d)
+    live = t0 > 0.0
+    bmin8 = tuple(b[None, :] for b in bmin8)
+    bmax8 = tuple(b[None, :] for b in bmax8)
+    hitm = _hitmask8(_slab8(bmin8, bmax8, o, inv_d, jnp.where(live, t0, 0.0)))
+    hitm = jnp.where(live, hitm, 0)
+    new_l = hitm & lmask
+    new_i = hitm & imask
+    out = dict(st, base_i=jnp.full_like(st["base_i"], cba),
+               base_l=jnp.full_like(st["base_l"], lb),
+               mask_l=new_l)
+    if octant is not None:
+        ordcols = jax.lax.bitcast_convert_type(row[52:60], jnp.int32)
+        ordpack = jnp.zeros_like(hitm)
+        for oc in range(8):
+            ordpack = jnp.where(octant == oc, ordcols[oc], ordpack)
+        out["ord_i"] = ordpack
+        out["mask_i"] = _slotmask_to_rankmask(new_i, ordpack)
+    else:
+        out["mask_i"] = new_i
+    return out
+
+
 # -- instance (two-level) helpers --------------------------------------------
 
 
@@ -455,22 +499,26 @@ def _slab1(bb_min, bb_max, o: Vec3, inv_d: Vec3, t_max):
     return t_enter <= t_exit
 
 
-def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
+def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
+                      roots=None) -> dict:
     """Run the closest-hit walk over flat lanes; lanes with t0 <= 0 are
-    dead.  Returns the best-hit state (t/u/v/nrm/mesh), with ``nrm`` in
-    the geometry's own (possibly instance-local) space.
+    dead.  Returns the raw best state {t, best} (``best`` packs the winning
+    (tri block, slot); -1 = none).
 
-    The walk itself carries only (t, best) — ``best`` packs the winning
-    (tri block, slot) — and the hit ATTRIBUTES (u/v/normal/mesh id) are
-    reconstructed once afterwards from a single tri-row gather: per-
-    iteration state stays minimal (cheaper compaction + no per-iteration
-    attribute selects)."""
+    With ``roots`` (per-lane int32 node ids), each lane starts at its own
+    subtree root instead of row 0 — the batched-instance walk uses this to
+    run every (ray, instance) item through ONE walk.  Without it, the root
+    visit is performed densely (``_seed_from_root``)."""
     total = jnp.size(t0)
     depth = geom.stack_depth
     iota_d = jnp.arange(depth, dtype=jnp.int32)
 
     state = _init_walk_state(total, depth, t0 > 0.0, ordered=True)
     state.update(t=t0, best=jnp.full((total,), -1, jnp.int32))
+    if roots is None:
+        state = _seed_from_root(state, geom, o, d, t0, _ray_octant(d))
+    else:
+        state["base_i"] = roots
 
     shrink = (BIG_COMPACT_SHRINK if total >= BIG_COMPACT_LANES
               else COMPACT_SHRINK)
@@ -486,7 +534,13 @@ def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
                       shrink=shrink)
         s = _compact_finish(loop_fac, s, o, d, stages=COMPACT_STAGES,
                             result_keys=("t", "best"), shrink=shrink)
-    return _reconstruct_hit(geom, o, d, s)
+    return {"t": s["t"], "best": s["best"]}
+
+
+def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
+    """Walk + one-time attribute reconstruction (t/u/v/nrm/mesh), with
+    ``nrm`` in the geometry's own (possibly instance-local) space."""
+    return _reconstruct_hit(geom, o, d, _walk_closest_raw(geom, o, d, t0))
 
 
 def _reconstruct_hit(geom: SceneGeometry, o: Vec3, d: Vec3, s: dict) -> dict:
@@ -532,6 +586,187 @@ def _merge_instance_closest(s, inst, o: Vec3, d: Vec3, inv_d: Vec3,
     )
 
 
+# -- batched instances (one walk for ALL instances) ---------------------------
+#
+# The reference's TLAS is one tree walk regardless of instance count
+# (``intersection.cuh:526-605``).  The round-2 per-instance unrolled loop
+# made both program size and runtime linear in instances; here the per-
+# instance BLASes are merged into one table pair (scene_geom.InstanceSet)
+# and traversal runs rounds of (ray, instance) work items through ONE
+# walk whose lanes start at per-item roots:
+#   1. dense TLAS pass: slab every ray against every instance world AABB
+#      (instances are tens — a broadcast beats a tree) -> per-lane bitmask
+#   2. per round: pack lanes with pending instances into a 1/4 buffer,
+#      transform each item's ray into its instance frame (one 24-float
+#      matrix-row gather), walk the merged tables bounded by the lane's
+#      current best t, scatter improvements back, clear the processed bit
+#   3. rounds repeat while any lane has pending instances — the count of
+#      rounds is the max instance OVERLAP per ray (~1-2), not the count
+#      of instances.
+
+_INST_WORD_BITS = 31  # avoid the int32 sign bit in mask words
+
+
+def _inst_hit_words(iset, o: Vec3, inv_d: Vec3, t, live) -> list:
+    """Per-lane bitmask words of instances whose world AABB the ray enters
+    within t (the dense TLAS leaf test)."""
+    n_words = (iset.count + _INST_WORD_BITS - 1) // _INST_WORD_BITS
+    words = [jnp.zeros(jnp.shape(t), jnp.int32) for _ in range(n_words)]
+    for i in range(iset.count):
+        bmin = (iset.bb_min[i, 0], iset.bb_min[i, 1], iset.bb_min[i, 2])
+        bmax = (iset.bb_max[i, 0], iset.bb_max[i, 1], iset.bb_max[i, 2])
+        ok = _slab1(bmin, bmax, o, inv_d, t) & live
+        w, b = divmod(i, _INST_WORD_BITS)
+        words[w] = words[w] | jnp.where(ok, jnp.int32(1 << b), 0)
+    return words
+
+
+def _words_any(words) -> jnp.ndarray:
+    a = words[0] != 0
+    for m in words[1:]:
+        a = a | (m != 0)
+    return a
+
+
+def _words_lsb_iid(words) -> jnp.ndarray:
+    """Lowest pending instance id across words (-1 if none)."""
+    iid = jnp.full_like(words[0], -1)
+    for w in reversed(range(len(words))):
+        m = words[w]
+        slot = jax.lax.population_count((m & -m) - 1)
+        iid = jnp.where(m != 0, w * _INST_WORD_BITS + slot, iid)
+    return iid
+
+
+def _words_clear_lsb(words, do) -> list:
+    """Clear the lowest set bit of the first nonzero word, per lane."""
+    out = []
+    cleared = jnp.zeros_like(do)
+    for m in words:
+        c = do & jnp.logical_not(cleared) & (m != 0)
+        out.append(jnp.where(c, m & (m - 1), m))
+        cleared = cleared | c
+    return out
+
+
+def _mat_affine(m, p: Vec3) -> Vec3:
+    """Apply gathered (R, 24) matrix rows (cols 0:12 = world->local 3x4)."""
+    return Vec3(
+        m[:, 0] * p.x + m[:, 1] * p.y + m[:, 2] * p.z + m[:, 3],
+        m[:, 4] * p.x + m[:, 5] * p.y + m[:, 6] * p.z + m[:, 7],
+        m[:, 8] * p.x + m[:, 9] * p.y + m[:, 10] * p.z + m[:, 11])
+
+
+def _mat_linear(m, v: Vec3) -> Vec3:
+    return Vec3(
+        m[:, 0] * v.x + m[:, 1] * v.y + m[:, 2] * v.z,
+        m[:, 4] * v.x + m[:, 5] * v.y + m[:, 6] * v.z,
+        m[:, 8] * v.x + m[:, 9] * v.y + m[:, 10] * v.z)
+
+
+def _mat_normal(m, v: Vec3) -> Vec3:
+    """Cols 12:21: local->world normal matrix (inverse transpose)."""
+    return Vec3(
+        m[:, 12] * v.x + m[:, 13] * v.y + m[:, 14] * v.z,
+        m[:, 15] * v.x + m[:, 16] * v.y + m[:, 17] * v.z,
+        m[:, 18] * v.x + m[:, 19] * v.y + m[:, 20] * v.z)
+
+
+def _inst_round_cap(total: int) -> int:
+    return total if total <= MIN_COMPACT_LANES else max(
+        total // 4, MIN_COMPACT_LANES)
+
+
+def _instances_closest_batched(iset, o: Vec3, d: Vec3, s: dict) -> dict:
+    total = jnp.size(s["t"])
+    C = _inst_round_cap(total)
+    inv_d = _safe_inv(d)
+    words = _inst_hit_words(iset, o, inv_d, s["t"],
+                            jnp.ones(jnp.shape(s["t"]), bool))
+    best_m = jnp.full((total,), -1, jnp.int32)
+    best_iid = jnp.full((total,), -1, jnp.int32)
+
+    def cond(c):
+        return jnp.any(_words_any(c[0]))
+
+    def body(c):
+        ws, t, bm, bi = c
+        active = _words_any(ws)
+        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+        processed = active & (pos < C)
+        perm = _pack_active(processed, C)
+        tk = lambda a: jnp.take(a, perm, axis=0)
+        o_s, d_s = o.map(tk), d.map(tk)
+        act_s = tk(processed)
+        iid = jnp.maximum(_words_lsb_iid([tk(m) for m in ws]), 0)
+        mt = jnp.take(iset.mats, iid, axis=0)
+        o_l = _mat_affine(mt, o_s)
+        d_l = _mat_linear(mt, d_s)
+        t0 = jnp.where(act_s, tk(t), -1.0)
+        r = _walk_closest_raw(iset.geom, o_l, d_l, t0,
+                              roots=jnp.take(iset.roots, iid, axis=0))
+        # a found hit strictly beats the lane's bound (the walk was bounded
+        # by t0); duplicate perm slots recompute lane 0 identically, so the
+        # scatter writes are exact (same argument as _compact_finish)
+        found = r["best"] >= 0
+        t = t.at[perm].set(jnp.where(found, r["t"], tk(t)))
+        bm = bm.at[perm].set(jnp.where(found, r["best"], tk(bm)))
+        bi = bi.at[perm].set(jnp.where(found, iid, tk(bi)))
+        return (_words_clear_lsb(ws, processed), t, bm, bi)
+
+    words, t, best_m, best_iid = jax.lax.while_loop(
+        cond, body, (words, s["t"], best_m, best_iid))
+
+    ifound = best_iid >= 0
+    iid = jnp.maximum(best_iid, 0)
+    mt = jnp.take(iset.mats, iid, axis=0)
+    rec = _reconstruct_hit(iset.geom, _mat_affine(mt, o), _mat_linear(mt, d),
+                           {"t": t, "best": jnp.where(ifound, best_m, -1)})
+    n_w = _mat_normal(mt, rec["nrm"])
+    return dict(
+        t=t,
+        u=jnp.where(ifound, rec["u"], s["u"]),
+        v=jnp.where(ifound, rec["v"], s["v"]),
+        nrm=where(ifound, n_w, s["nrm"]),
+        mesh=jnp.where(ifound, rec["mesh"], s["mesh"]),
+    )
+
+
+def _instances_any_batched(iset, o: Vec3, d: Vec3, t_f, hit) -> jnp.ndarray:
+    total = jnp.size(t_f)
+    C = _inst_round_cap(total)
+    inv_d = _safe_inv(d)
+    words = _inst_hit_words(iset, o, inv_d, t_f,
+                            jnp.logical_not(hit) & (t_f > 0.0))
+
+    def cond(c):
+        return jnp.any(_words_any(c[0]))
+
+    def body(c):
+        ws, h = c
+        active = _words_any(ws)
+        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+        processed = active & (pos < C)
+        perm = _pack_active(processed, C)
+        tk = lambda a: jnp.take(a, perm, axis=0)
+        act_s = tk(processed)
+        iid = jnp.maximum(_words_lsb_iid([tk(m) for m in ws]), 0)
+        mt = jnp.take(iset.mats, iid, axis=0)
+        o_l = _mat_affine(mt, o.map(tk))
+        d_l = _mat_linear(mt, d.map(tk))
+        hs = _any_state(iset.geom, o_l, d_l,
+                        jnp.where(act_s, tk(t_f), -1.0),
+                        roots=jnp.take(iset.roots, iid, axis=0))
+        h = h.at[perm].set(tk(h) | (hs & act_s))
+        ws = _words_clear_lsb(ws, processed)
+        # an occluded lane's remaining instances are moot
+        ws = [jnp.where(h, 0, m) for m in ws]
+        return (ws, h)
+
+    _, hit = jax.lax.while_loop(cond, body, (words, hit))
+    return hit
+
+
 def _finalize_closest(o: Vec3, d: Vec3, s: dict, shape) -> Hit:
     found = s["mesh"] >= 0
     n = s["nrm"].normalized(1e-30)
@@ -566,9 +801,13 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX) -> Hit:
 
     if isinstance(geom, WorldGeometry):
         s = _closest_state(geom.static, o, d, t0)
-        inv_d = _safe_inv(d)
-        for inst in geom.instances:
-            s = _merge_instance_closest(s, inst, o, d, inv_d, _closest_state)
+        if geom.iset is not None:
+            s = _instances_closest_batched(geom.iset, o, d, s)
+        else:
+            inv_d = _safe_inv(d)
+            for inst in geom.instances:
+                s = _merge_instance_closest(s, inst, o, d, inv_d,
+                                            _closest_state)
     else:
         s = _closest_state(geom, o, d, t0)
     return _finalize_closest(o, d, s, shape)
@@ -577,15 +816,20 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX) -> Hit:
 def _make_closest_body(geom, o, d, iota_d):
     """Closest-hit body over explicit ray args (for the compacted tail).
     Leaf action records only (t, packed winner); attributes are
-    reconstructed after the walk (``_reconstruct_hit``)."""
+    reconstructed after the walk (``_reconstruct_hit``).
+
+    Both actions are gated by SCALAR any-lane conditions: an iteration
+    where no lane in the buffer has a pending leaf (the first iterations
+    after the dense root seed; mostly-dead bounce/NEE walks) skips the
+    whole leaf gather + MT block (~70%% of the measured full-width body,
+    tools/prof_r3.py part D), and a pure-leaf drain phase likewise skips
+    the node gather + descend."""
     inv_d = _safe_inv(d)
     octant = _ray_octant(d)
     oe = o.map(lambda c: c[:, None])
     de = d.map(lambda c: c[:, None])
 
-    def body(s):
-        st, k = s
-        st = _pop_cur(st, iota_d)
+    def leaf_action(st):
         best_t = st["t"]
         has_leaf = st["mask_l"] != 0
         blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
@@ -598,35 +842,48 @@ def _make_closest_body(geom, o, d, iota_d):
         tbest = jnp.min(tm, axis=-1)
         found = tbest < best_t
         slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
-        st = dict(
+        return dict(
             st,
             mask_l=st["mask_l"] & (st["mask_l"] - 1),
             t=jnp.where(found, tbest, best_t),
             best=jnp.where(found, blk * LEAF_SIZE + slot, st["best"]),
         )
-        st = _descend(st, geom, o, inv_d, st["t"], iota_d, octant)
+
+    def body(s):
+        st, k = s
+        st = _pop_cur(st, iota_d)
+        st = jax.lax.cond(jnp.any(st["mask_l"] != 0), leaf_action,
+                          lambda x: x, st)
+        st = jax.lax.cond(
+            jnp.any(st["mask_i"] != 0),
+            lambda x: _descend(x, geom, o, inv_d, x["t"], iota_d, octant),
+            lambda x: x, st)
         return st, k + 1
 
     return body
 
 
-def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f) -> jnp.ndarray:
-    """Any-hit walk over flat lanes; lanes with t_f <= 0 are dead."""
+def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
+               roots=None) -> jnp.ndarray:
+    """Any-hit walk over flat lanes; lanes with t_f <= 0 are dead.  With
+    ``roots``, lanes start at per-lane subtree roots (batched instances)."""
     total = jnp.size(t_f)
     depth = geom.stack_depth
     iota_d = jnp.arange(depth, dtype=jnp.int32)
 
     state = _init_walk_state(total, depth, t_f > 0.0)
     state.update(hit=jnp.zeros((total,), bool))
+    if roots is None:
+        state = _seed_from_root(state, geom, o, d, t_f)
+    else:
+        state["base_i"] = roots
 
     def make_body(o_s, d_s, t_s):
         inv_d = _safe_inv(d_s)
         oe = o_s.map(lambda c: c[:, None])
         de = d_s.map(lambda c: c[:, None])
 
-        def body(s):
-            st, k = s
-            st = _pop_cur(st, iota_d)
+        def leaf_action(st):
             hit = st["hit"]
             has_leaf = st["mask_l"] != 0
             blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
@@ -635,8 +892,20 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f) -> jnp.ndarray:
             ok, _, _, _ = _mt_test(v0, e1, e2, oe, de, T_MIN, t_s[:, None])
             ok = ok & opaque & (mesh_id >= 0)
             hit = hit | (jnp.any(ok, axis=-1) & has_leaf)
-            st = dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1), hit=hit)
-            st = _descend(st, geom, o_s, inv_d, t_s, iota_d)
+            return dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1),
+                        hit=hit)
+
+        def body(s):
+            st, k = s
+            st = _pop_cur(st, iota_d)
+            # scalar phase gates, as in the closest body
+            st = jax.lax.cond(jnp.any(st["mask_l"] != 0), leaf_action,
+                              lambda x: x, st)
+            st = jax.lax.cond(
+                jnp.any(st["mask_i"] != 0),
+                lambda x: _descend(x, geom, o_s, inv_d, t_s, iota_d),
+                lambda x: x, st)
+            hit = st["hit"]
             # early-out: a found occlusion kills the lane's remaining work
             return dict(
                 st,
@@ -681,14 +950,17 @@ def intersect_any(geom, o: Vec3, d: Vec3, t_max) -> jnp.ndarray:
     hit = _any_state(geom.static if isinstance(geom, WorldGeometry) else geom,
                      o, d, t_f)
     if isinstance(geom, WorldGeometry):
-        inv_d = _safe_inv(d)
-        for inst in geom.instances:
-            live = (_slab1(inst.bb_min, inst.bb_max, o, inv_d, t_f)
-                    & jnp.logical_not(hit))
-            o_l = _affine(inst.inv_rows, o)
-            d_l = _linear(inst.inv_rows, d)
-            hit = hit | _any_state(inst.geom, o_l, d_l,
-                                   jnp.where(live, t_f, -1.0))
+        if geom.iset is not None:
+            hit = _instances_any_batched(geom.iset, o, d, t_f, hit)
+        else:
+            inv_d = _safe_inv(d)
+            for inst in geom.instances:
+                live = (_slab1(inst.bb_min, inst.bb_max, o, inv_d, t_f)
+                        & jnp.logical_not(hit))
+                o_l = _affine(inst.inv_rows, o)
+                d_l = _linear(inst.inv_rows, d)
+                hit = hit | _any_state(inst.geom, o_l, d_l,
+                                       jnp.where(live, t_f, -1.0))
     return hit.reshape(shape)
 
 

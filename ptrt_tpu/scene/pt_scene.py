@@ -74,10 +74,11 @@ class Scene:
         # two-level acceleration caches + build counters (scene.cuh:596-743
         # incremental-update analog; counters are asserted by tests)
         self._static_cache = None  # (SceneGeometry, signature)
-        self._instance_cache = {}  # id(mesh) -> (Instance, transform_bytes)
+        self._instance_cache = {}  # id(mesh) -> dict (see _rebuild_geometry)
         self.stats_world_builds = 0  # static world BLAS rebuilds
         self.stats_blas_builds = 0  # per-instance BLAS (re)builds
         self.stats_tlas_updates = 0  # matrix-only instance updates
+        self.stats_device_refits = 0  # fixed-topology refills refit on device
         self._mat_table = None
         self._mat_dirty = True
         self._light_table = None
@@ -307,27 +308,84 @@ class Scene:
 
         new_cache = {}
         instances = []
+        refits = []  # (index into instances, mesh) refit on the merged set
+        gen_counter = getattr(self, "_inst_gen", 0)
         for i, m in enumerate(self.meshes):
             if not m.is_dynamic:
                 continue
             tbytes = m.transform.world_matrix().tobytes()
-            cached = self._instance_cache.get(id(m))
-            if cached is None or m.verts_dirty:
+            entry = self._instance_cache.get(id(m))
+            if (entry is not None and m.verts_dirty
+                    and entry["tris"] == m.num_triangles):
+                # fixed-topology refill (fluid surface, Triangles hook):
+                # refit the BLAS on DEVICE — no host BVH build
+                # (reference analog: fastBVHUpdates, mesh.cuh:330-346)
+                from ptrt_tpu.geometry import refit as refit_mod
+
+                v0, v1, v2 = (jnp.asarray(a)
+                              for a in m.triangle_arrays(world=False))
+                g2 = refit_mod.refit_apply(entry["inst"].geom,
+                                           entry["plan"], v0, v1, v2)
+                inv, nrm, bb_min, bb_max = scene_geom.instance_transform_rows(
+                    m)
+                inst = scene_geom.Instance(geom=g2, inv_rows=inv,
+                                           nrm_rows=nrm, bb_min=bb_min,
+                                           bb_max=bb_max)
+                entry = dict(entry, inst=inst, tb=tbytes)
+                refits.append((len(instances), m))
+                self.stats_device_refits += 1
+                m.verts_dirty = False
+            elif entry is None or m.verts_dirty:
+                from ptrt_tpu.geometry import refit as refit_mod
+
                 inst = scene_geom.assemble_instance(m, i, trans)
+                gen_counter += 1
+                entry = dict(inst=inst, tb=tbytes, gen=gen_counter,
+                             tris=m.num_triangles,
+                             plan=refit_mod.build_refit_plan(inst.geom))
                 self.stats_blas_builds += 1
                 m.verts_dirty = False
-            elif cached[1] != tbytes:
-                inst = scene_geom.update_instance_transform(cached[0], m)
+            elif entry["tb"] != tbytes:
+                inst = scene_geom.update_instance_transform(entry["inst"], m)
+                entry = dict(entry, inst=inst, tb=tbytes)
                 self.stats_tlas_updates += 1
             else:
-                inst = cached[0]
-            new_cache[id(m)] = (inst, tbytes)
+                inst = entry["inst"]
+            new_cache[id(m)] = entry
             instances.append(inst)
         self._instance_cache = new_cache
+        self._inst_gen = gen_counter
 
         if instances:
+            instances = tuple(instances)
+            # merged-BLAS cache: re-concat only when an instance BLAS is
+            # REBUILT or the set changes (gen key); transform edits refresh
+            # the small matrix/AABB tables, refills refit the merged tables
+            # on device
+            iset_cache = getattr(self, "_iset_cache", None)
+            gen_key = tuple(self._instance_cache[k]["gen"]
+                            for k in (id(mm) for mm in self.meshes
+                                      if mm.is_dynamic))
+            if iset_cache is not None and iset_cache[0] == gen_key:
+                iset = scene_geom.update_instance_set_transforms(
+                    iset_cache[1], instances)
+                plans = iset_cache[2]
+            else:
+                iset = scene_geom.merge_instances(instances)
+                plans = _merged_refit_plans(instances)
+                refits = []  # fresh merge already has current vertices
+            for pos, m in refits:
+                from ptrt_tpu.geometry import refit as refit_mod
+
+                v0, v1, v2 = (jnp.asarray(a)
+                              for a in m.triangle_arrays(world=False))
+                iset = dataclasses.replace(
+                    iset, geom=refit_mod.refit_apply(iset.geom, plans[pos],
+                                                     v0, v1, v2))
+            self._iset_cache = (gen_key, iset, plans)
             self._geom = scene_geom.WorldGeometry(
-                static=self._static_cache[0], instances=tuple(instances))
+                static=self._static_cache[0], instances=instances,
+                iset=iset)
         else:
             self._geom = self._static_cache[0]
 
@@ -513,6 +571,23 @@ class Scene:
 # -- cached jitted frame programs -------------------------------------------
 
 
+def _merged_refit_plans(instances) -> tuple:
+    """Per-instance refit plans positioned at the merged-table offsets
+    (geometry/refit.py); built once per merge, reused every refill."""
+    from ptrt_tpu.geometry.refit import build_refit_plan
+
+    plans = []
+    node_off = blk_off = slot_off = 0
+    for inst in instances:
+        g = inst.geom
+        plans.append(build_refit_plan(g, node_off=node_off, blk_off=blk_off,
+                                      slot_off=slot_off))
+        node_off += g.num_nodes
+        blk_off += g.num_tri_blocks
+        slot_off += g.num_tri_slots
+    return tuple(plans)
+
+
 _frame_cache: dict = {}
 _trace_cache: dict = {}
 _wire_cache: dict = {}
@@ -645,14 +720,13 @@ def _post_program(rw, rh, full_w, full_h, denoise, bloom,
     return _post_cache[key]
 
 
-def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
-                   n_lights, use_brute, has_env, rr_enabled=True, rr_start=2,
-                   motion_vectors_on=True):
-    key = (rw, rh, full_w, full_h, spp, depth, denoise, bloom, n_lights,
-           use_brute, has_env, rr_enabled, rr_start, motion_vectors_on)
-    if key in _frame_cache:
-        return _frame_cache[key]
-
+def _frame_fn(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
+              n_lights, use_brute, has_env, rr_enabled=True, rr_start=2,
+              motion_vectors_on=True):
+    """The raw (unjitted) one-frame pipeline body: trace -> MV -> SVGF ->
+    bloom -> upscale -> tonemap.  ``_frame_program`` jits it standalone;
+    fused game frames (games/fused.py) inline it after their step so
+    step+render compile as ONE XLA program."""
     from ptrt_tpu.render.denoiser import (DenoiserState, denoise_frame,
                                           init_denoiser_state)
     from ptrt_tpu.render.motion import motion_vectors
@@ -686,7 +760,20 @@ def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
         rgb8 = pl.tonemap_to_rgb8(current)
         return rgb8, rng_state, den_state
 
-    jitted = jax.jit(fn)
+    return fn
+
+
+def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
+                   n_lights, use_brute, has_env, rr_enabled=True, rr_start=2,
+                   motion_vectors_on=True):
+    key = (rw, rh, full_w, full_h, spp, depth, denoise, bloom, n_lights,
+           use_brute, has_env, rr_enabled, rr_start, motion_vectors_on)
+    if key in _frame_cache:
+        return _frame_cache[key]
+
+    jitted = jax.jit(_frame_fn(rw, rh, full_w, full_h, spp, depth, denoise,
+                               bloom, n_lights, use_brute, has_env,
+                               rr_enabled, rr_start, motion_vectors_on))
 
     def wrapper(*args):
         return jitted(*args)

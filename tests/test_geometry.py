@@ -234,3 +234,71 @@ class TestBVH:
         h = intersect_closest(geom, o, d)
         assert np.asarray(h.hit).all()
         assert np.allclose(np.asarray(h.t), 2.5, atol=0.02)
+
+
+class TestBatchedInstances:
+    def test_many_instances_match_baked(self, np_rng):
+        """64 dynamic instances through the batched one-walk TLAS must match
+        the same transforms baked statically (intersection.cuh:526-605
+        semantics at instance counts the round-2 unrolled loop could not
+        reach)."""
+        def build(dynamic: bool):
+            meshes = [Mesh.plane_xz(-1.0, 12.0)]
+            rng = np.random.default_rng(7)
+            for k in range(64):
+                c = Mesh.cube()
+                c.transform = Transform3D(
+                    position=tuple(rng.uniform(-6, 6, 3) + [0, 0, 6]),
+                    rotation=tuple(rng.uniform(0, 3, 3)),
+                    scale=(0.5, 0.5, 0.5))
+                c.is_dynamic = dynamic
+                meshes.append(c)
+            return assemble_world(meshes)
+
+        gw = build(True)
+        gs = build(False)
+        assert gw.iset is not None and gw.iset.count == 64
+        n = 512
+        o = _vec(np_rng.normal(size=(n, 3)).astype(np.float32) * 0.3
+                 + np.array([0, 1, -2], np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)
+                           + np.array([0, -0.2, 2], np.float32)))
+        hw = intersect_closest(gw, o, d)
+        hs = intersect_closest(gs, o, d)
+        assert np.array_equal(np.asarray(hw.hit), np.asarray(hs.hit))
+        m = np.asarray(hs.hit)
+        assert np.allclose(np.asarray(hw.t)[m], np.asarray(hs.t)[m],
+                           rtol=1e-3, atol=1e-4)
+        assert np.array_equal(np.asarray(hw.mesh_index)[m],
+                              np.asarray(hs.mesh_index)[m])
+        tm = jnp.full((n,), 12.0)
+        assert np.array_equal(np.asarray(intersect_any(gw, o, d, tm)),
+                              np.asarray(intersect_any(gs, o, d, tm)))
+
+    def test_program_size_flat_in_instances(self, np_rng):
+        """The traced program must contain a CONSTANT number of traversal
+        loops regardless of instance count (one batched walk, not one per
+        instance)."""
+        import jax
+
+        def build(k):
+            meshes = [Mesh.plane_xz(-1.0, 8.0)]
+            for i in range(k):
+                c = Mesh.cube()
+                c.transform = Transform3D(position=(i * 0.7 - 2, 0, 4))
+                c.is_dynamic = True
+                meshes.append(c)
+            return assemble_world(meshes)
+
+        n = 64
+        o = _vec(np.zeros((n, 3), np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)
+                           + np.array([0, 0, 2], np.float32)))
+
+        def count_whiles(k):
+            g = build(k)
+            jx = jax.make_jaxpr(
+                lambda oo, dd: intersect_closest(g, oo, dd).t)(o, d)
+            return str(jx).count("while[")
+
+        assert count_whiles(2) == count_whiles(16)
