@@ -33,7 +33,7 @@ def sample_light(state, lights: LightTable, n_lights: int, point: Vec3):
     r = jnp.minimum(r, 0.99999994)
     li = (r * n_lights).astype(jnp.int32)
 
-    # one packed row gather for all 14 light fields
+    # one packed row gather for all light fields
     row = jnp.take(lights.packed, li, axis=0)
     ltype = row[..., 0].astype(jnp.int32)
     lpos = Vec3(row[..., 1], row[..., 2], row[..., 3])
@@ -44,6 +44,8 @@ def sample_light(state, lights: LightTable, n_lights: int, point: Vec3):
     linner = row[..., 12]
     louter = row[..., 13]
     lradius = row[..., 14]
+    lwidth = row[..., 15]
+    lheight = row[..., 16]
 
     pdf_pick = 1.0 / float(n_lights)
     radiance = lcol * lint
@@ -63,6 +65,31 @@ def sample_light(state, lights: LightTable, n_lights: int, point: Vec3):
     soft = lradius > 0.0
     l_local = where(soft, l_cone, l_point)
     pdf_local = jnp.where(soft, pdf_cone, pdf_pick)
+
+    # -- rect AREA lights: real quad sampling (IMPROVEMENT over the
+    # reference's Area->Point degradation, PTRTtransfer.cuh:1833).
+    # Uniform point on the rect, solid-angle pdf dist^2/(A cos), single-
+    # sided emission along ldir; radiance convention matches the radius
+    # lights above (intensity acts as radiance, MIS-consistent pdfs).
+    state, ua, va = prng.uniform2(state)
+    tb_u, tb_v = prng.ortho_normal_basis(ldir)
+    q = (lpos + tb_u * (lwidth * (ua - 0.5))
+         + tb_v * (lheight * (va - 0.5)))
+    to_q = q - point
+    dist_q_sq = jnp.maximum(to_q.length_squared(), 1e-12)
+    dist_q = jnp.sqrt(dist_q_sq)
+    l_area = to_q * (1.0 / dist_q)
+    # ldir is the EMISSION direction: the surface sees the light iff the
+    # sample-to-point direction agrees with ldir (single-sided)
+    cos_emit = (-l_area).dot(ldir)
+    area = jnp.maximum(lwidth * lheight, 1e-12)
+    pdf_area_sa = pdf_pick * dist_q_sq / (area * jnp.maximum(cos_emit, 1e-6))
+    is_area = ltype == int(LightType.AREA)
+    emits = cos_emit > 1e-6
+    l_local = where(is_area, l_area, l_local)
+    pdf_local = jnp.where(is_area,
+                          jnp.where(emits, pdf_area_sa, 0.0), pdf_local)
+    dist = jnp.where(is_area, dist_q, dist)
 
     att = lrange / (lrange + dist)
     att = att * att

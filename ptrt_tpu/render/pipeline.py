@@ -74,9 +74,10 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
 
     batch = max(1, min(spp, MAX_WAVEFRONT_LANES // (width * height)))
 
-    def trace_batch(s0: int, sb: int):
-        """Trace samples [s0, s0+sb) as one (sb, H, W) wavefront."""
-        s_idx = jnp.arange(s0, s0 + sb)
+    def trace_batch(s0, sb: int):
+        """Trace samples [s0, s0+sb) as one (sb, H, W) wavefront.
+        ``s0`` may be a traced scalar (the fori-batched path)."""
+        s_idx = jnp.arange(sb) + s0
         fidx = frame_index + s_idx  # (sb,)
         jx_t, jy_t = taa_jitter(fidx)  # (sb,)
         bx, by = next_blue_noise(blue_noise_tbl, xs, ys,
@@ -92,25 +93,49 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
                             rr_start=rr_start)
         return out
 
-    acc = None
-    s0 = 0
-    while s0 < spp:
-        sb = min(batch, spp - s0)
+    def batch_parts(s0, sb):
         out = trace_batch(s0, sb)
         mean0 = lambda c: jnp.sum(c, axis=0)
-        part = (out.radiance.map(mean0), out.diffuse.map(mean0),
+        sums = (out.radiance.map(mean0), out.diffuse.map(mean0),
                 out.specular.map(mean0), out.emission.map(mean0),
                 out.rays_traced)
-        if acc is None:
-            first = (out.first_normal.map(lambda c: c[0]),
-                     out.first_depth[0], out.first_object_id[0],
-                     out.first_roughness[0], out.first_transmission[0])
-            acc = part + (first,)
-        else:
-            acc = tuple(
-                jax.tree_util.tree_map(jnp.add, a, p)
-                for a, p in zip(acc[:5], part)) + (acc[5],)
-        s0 += sb
+        first = (out.first_normal.map(lambda c: c[0]),
+                 out.first_depth[0], out.first_object_id[0],
+                 out.first_roughness[0], out.first_transmission[0])
+        return sums, first
+
+    n_full = spp // batch
+    rem = spp - n_full * batch
+    if n_full > 1:
+        # batches as a fori_loop: ONE integrator/traversal instantiation in
+        # the program no matter how many sequential wavefront batches the
+        # lane budget forces (an unrolled python loop made the 1080p@4spp
+        # bench program 4 traversals big — the dominant compile cost)
+        def fbody(b, carry):
+            sums, first = carry
+            s, f = batch_parts(b * batch, batch)
+            sums = jax.tree_util.tree_map(jnp.add, sums, s)
+            pickb0 = lambda cur, new: jnp.where(b == 0, new, cur)
+            first = jax.tree_util.tree_map(pickb0, first, f)
+            return sums, first
+
+        zero3 = lambda: Vec3.zeros((height, width))
+        init = (
+            (zero3(), zero3(), zero3(), zero3(), jnp.float32(0.0)),
+            (zero3(), jnp.zeros((height, width)),
+             jnp.zeros((height, width), jnp.int32),
+             jnp.zeros((height, width)), jnp.zeros((height, width))),
+        )
+        sums, first = jax.lax.fori_loop(0, n_full, fbody, init)
+        acc = sums + (first,)
+    else:
+        # batch == spp (single wavefront) or spp < 2*batch: no loop needed
+        s, f = batch_parts(0, batch)
+        acc = s + (f,)
+    if rem:
+        s, _ = batch_parts(n_full * batch, rem)
+        acc = tuple(jax.tree_util.tree_map(jnp.add, a, p)
+                    for a, p in zip(acc[:5], s)) + (acc[5],)
 
     color, diff, spec, emis, rays, first = acc
     inv = 1.0 / float(spp)

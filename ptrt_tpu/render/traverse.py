@@ -330,10 +330,16 @@ def _active(st):
     return ((st["mask_i"] | st["mask_l"]) != 0) | (st["sp"] > 0)
 
 
-def _run_walk(body, state, to_completion, shrink=None):
+def _run_walk(body, state, to_completion, shrink=None, body_node=None):
     """Drive the walk.  With ``to_completion`` False, stop as soon as the
     unfinished lanes fit the 1/shrink tail buffer (but run at least
-    PASS_MIN_ITERS iterations)."""
+    PASS_MIN_ITERS iterations).
+
+    With ``body_node`` (a leaf-free body variant), a PRE-PHASE while runs
+    it as long as NO lane anywhere has a pending leaf — the first
+    iterations of a root-seeded walk descend pure-internal levels, and at
+    full wavefront width the skipped leaf gather+MT block is the single
+    biggest line item of the whole walk."""
     if shrink is None:
         shrink = COMPACT_SHRINK
 
@@ -348,7 +354,13 @@ def _run_walk(body, state, to_completion, shrink=None):
         return jnp.any(act) & ((k < PASS_MIN_ITERS) | (n_active > cap))
 
     cond = cond_full if to_completion else cond_capped
-    out, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    carry = (state, jnp.int32(0))
+    if body_node is not None:
+        def cond_pre(s):
+            return cond(s) & jnp.logical_not(jnp.any(s[0]["mask_l"] != 0))
+
+        carry = jax.lax.while_loop(cond_pre, body_node, carry)
+    out, _ = jax.lax.while_loop(cond, body, carry)
     return out
 
 
@@ -524,14 +536,15 @@ def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
               else COMPACT_SHRINK)
 
     def loop_fac(st, o_s, d_s, to_completion):
-        return _run_walk(_make_closest_body(geom, o_s, d_s, iota_d), st,
-                         to_completion, shrink=shrink)
+        b, bn = _make_closest_body(geom, o_s, d_s, iota_d)
+        return _run_walk(b, st, to_completion, shrink=shrink, body_node=bn)
 
+    body, body_node = _make_closest_body(geom, o, d, iota_d)
     if total < MIN_COMPACT_LANES:
-        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, True)
+        s = _run_walk(body, state, True, body_node=body_node)
     else:
-        s = _run_walk(_make_closest_body(geom, o, d, iota_d), state, False,
-                      shrink=shrink)
+        s = _run_walk(body, state, False, shrink=shrink,
+                      body_node=body_node)
         s = _compact_finish(loop_fac, s, o, d, stages=COMPACT_STAGES,
                             result_keys=("t", "best"), shrink=shrink)
     return {"t": s["t"], "best": s["best"]}
@@ -852,15 +865,22 @@ def _make_closest_body(geom, o, d, iota_d):
     def body(s):
         st, k = s
         st = _pop_cur(st, iota_d)
-        st = jax.lax.cond(jnp.any(st["mask_l"] != 0), leaf_action,
-                          lambda x: x, st)
-        st = jax.lax.cond(
-            jnp.any(st["mask_i"] != 0),
-            lambda x: _descend(x, geom, o, inv_d, x["t"], iota_d, octant),
-            lambda x: x, st)
+        st = leaf_action(st)
+        st = _descend(st, geom, o, inv_d, st["t"], iota_d, octant)
         return st, k + 1
 
-    return body
+    def body_node_only(s):
+        """Leaf-free variant for the pre-phase while (``_run_walk``): no
+        tri-table reference at all, so the 36 ms leaf gather+MT block
+        (tools/prof_r3.py part D) never runs during the leaf-free head of
+        the walk — and no table ever becomes a cond-branch operand (which
+        GSPMD would re-shard and all-gather per iteration on a mesh)."""
+        st, k = s
+        st = _pop_cur(st, iota_d)
+        st = _descend(st, geom, o, inv_d, st["t"], iota_d, octant)
+        return st, k + 1
+
+    return body, body_node_only
 
 
 def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
@@ -895,36 +915,43 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
             return dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1),
                         hit=hit)
 
-        def body(s):
-            st, k = s
-            st = _pop_cur(st, iota_d)
-            # scalar phase gates, as in the closest body
-            st = jax.lax.cond(jnp.any(st["mask_l"] != 0), leaf_action,
-                              lambda x: x, st)
-            st = jax.lax.cond(
-                jnp.any(st["mask_i"] != 0),
-                lambda x: _descend(x, geom, o_s, inv_d, t_s, iota_d),
-                lambda x: x, st)
+        def _early_out(st):
+            # a found occlusion kills the lane's remaining work
             hit = st["hit"]
-            # early-out: a found occlusion kills the lane's remaining work
             return dict(
                 st,
                 mask_i=jnp.where(hit, 0, st["mask_i"]),
                 mask_l=jnp.where(hit, 0, st["mask_l"]),
                 sp=jnp.where(hit, 0, st["sp"]),
-            ), k + 1
+            )
 
-        return body
+        def body(s):
+            st, k = s
+            st = _pop_cur(st, iota_d)
+            st = leaf_action(st)
+            st = _descend(st, geom, o_s, inv_d, t_s, iota_d)
+            return _early_out(st), k + 1
+
+        def body_node(s):
+            # leaf-free pre-phase variant (see _run_walk)
+            st, k = s
+            st = _pop_cur(st, iota_d)
+            st = _descend(st, geom, o_s, inv_d, t_s, iota_d)
+            return _early_out(st), k + 1
+
+        return body, body_node
 
     def loop_fac(st, o_s, d_s, t_s, to_completion):
-        return _run_walk(make_body(o_s, d_s, t_s), st, to_completion,
-                         shrink=ANY_COMPACT_SHRINK)
+        b, bn = make_body(o_s, d_s, t_s)
+        return _run_walk(b, st, to_completion, shrink=ANY_COMPACT_SHRINK,
+                         body_node=bn)
 
+    body, body_node = make_body(o, d, t_f)
     if total < MIN_COMPACT_LANES:
-        s = _run_walk(make_body(o, d, t_f), state, True)
+        s = _run_walk(body, state, True, body_node=body_node)
     else:
-        s = _run_walk(make_body(o, d, t_f), state, False,
-                      shrink=ANY_COMPACT_SHRINK)
+        s = _run_walk(body, state, False,
+                      shrink=ANY_COMPACT_SHRINK, body_node=body_node)
         s = _compact_finish(loop_fac, s, o, d, extras=(t_f,),
                             stages=ANY_COMPACT_STAGES, result_keys=("hit",),
                             shrink=ANY_COMPACT_SHRINK)

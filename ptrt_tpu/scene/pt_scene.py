@@ -146,6 +146,19 @@ class Scene:
         self.reset_accumulation()
         return lt
 
+    def add_area_light(self, position, direction, width=1.0, height=1.0,
+                       color=(1, 1, 1), intensity=1.0,
+                       range=100.0) -> Light:
+        """Rect area light with real quad sampling (render/nee.py) —
+        improvement over the reference's Area->Point degradation
+        (``PTRTtransfer.cuh:1833``)."""
+        lt = Light.area(position, direction, width, height, color,
+                        intensity, range)
+        self.lights.append(lt)
+        self._light_dirty = True
+        self.reset_accumulation()
+        return lt
+
     def add_directional_light(self, direction, color=(1, 1, 1),
                               intensity=1.0) -> Light:
         lt = Light.directional(direction, color, intensity)

@@ -810,7 +810,9 @@ def _unified_light_to_light(l: UnifiedLight) -> Light:
                  intensity=l.intensity, range=l.range,
                  inner_cone=l.inner_cone, outer_cone=l.outer_cone,
                  radius=(l.radius if t != LightType.AREA else
-                         0.5 * math.sqrt(l.area_width * l.area_height)))
+                         0.5 * math.sqrt(l.area_width * l.area_height)),
+                 width=(l.area_width if t == LightType.AREA else 0.0),
+                 height=(l.area_height if t == LightType.AREA else 0.0))
 
 
 class UnifiedSceneBuilder:

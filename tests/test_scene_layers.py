@@ -55,14 +55,19 @@ class TestLights:
             Light.point((1, 2, 3), (1, 0, 0), 5.0),
             Light.directional((0, -1, 0)),
         ])
-        assert t.packed.shape == (2, 16)
+        assert t.packed.shape == (2, 18)
         assert int(t.packed[1, 0]) == int(LightType.DIRECTIONAL)
         assert np.isclose(float(t.packed[0, 10]), 5.0)  # intensity
 
-    def test_area_degrades_to_point(self):
-        t = LightTable.from_lights([Light.area((0, 5, 0), (0, -1, 0), 2.0, 2.0)])
-        assert int(t.type[0]) == int(LightType.POINT)
-        assert float(t.radius[0]) > 0.0  # soft radius from area
+    def test_area_keeps_type_and_extent(self):
+        """IMPROVEMENT over the reference: Area lights are sampled as real
+        rects (render/nee.py), not degraded to points
+        (PTRTtransfer.cuh:1833)."""
+        t = LightTable.from_lights([Light.area((0, 5, 0), (0, -1, 0),
+                                               2.0, 3.0)])
+        assert int(t.type[0]) == int(LightType.AREA)
+        assert np.isclose(float(t.packed[0, 15]), 2.0)  # width
+        assert np.isclose(float(t.packed[0, 16]), 3.0)  # height
 
 
 class TestAnimation:

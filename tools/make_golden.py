@@ -64,10 +64,13 @@ def golden_scenes(w: int, h: int):
         return sc.render_frame()
 
     def denoised_cornell():
-        # denoiser-on golden (VERDICT r1 #6): 3 frames through the FULL
-        # frame program (split trace + SVGF temporal/spatial + tonemap);
-        # small because the denoiser program compile dominates on CPU
-        u = UnifiedScenePresets.CornellBox(96, 54)
+        # denoiser-on golden at FULL golden resolution (VERDICT r2 #7):
+        # 3 frames through the complete frame program (split trace + SVGF
+        # temporal reprojection/history + a-trous + bloom + tonemap).
+        # CPU compile of the balanced program is ~3-4 min cold (cached
+        # afterwards) — the CI cost of having real pixel evidence on the
+        # full product path.
+        u = UnifiedScenePresets.CornellBox(w, h)
         sc = UnifiedSceneBuilder.build_pt_scene(u)
         sc.set_performance_preset("balanced")
         sc.perf.resolution_scale = 1.0

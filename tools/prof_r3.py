@@ -170,7 +170,9 @@ def _main():
     tris = int(os.environ.get("TRIS", 1_000_000))
     if "a" in which:
         part_a(R)
-    if set(which) & set("bcd"):
+    if "f" in which:
+        part_f(R)
+    if set(which) & set("bcdeg"):
         sc = build_bench_scene(1920, 1080, target_tris=tris)
         sc._ensure_device_state()
         if "b" in which:
@@ -179,6 +181,10 @@ def _main():
             part_c(sc, R)
         if "d" in which:
             part_d(sc, R)
+        if "e" in which:
+            part_e(sc, R)
+        if "g" in which:
+            part_g(sc, R)
 
 
 def part_d(sc, R=2_200_000):
@@ -233,5 +239,215 @@ def part_d(sc, R=2_200_000):
           f"{timeit(jax.jit(stack_part), s2, reps=10)*1e3:7.2f} ms")
 
 
+
+
+def part_e(sc, R=2_200_000):
+    """Isolate the leaf path: gather vs MT math vs layout variants."""
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    o, d = _camera_rays(sc, R)
+    rng = np.random.default_rng(0)
+    blkidx = jnp.asarray(rng.integers(0, g.num_tri_blocks, R).astype(np.int32))
+    tbound = jnp.full((R,), 25.0)
+    oe = o.map(lambda c: c[:, None])
+    de = d.map(lambda c: c[:, None])
+    blk_const = jnp.asarray(
+        rng.normal(size=(R, g.tri_rows.shape[1])).astype(np.float32))
+
+    def consume(x):
+        return x[:, 0] + x[:, -1]
+
+    def e1(i):  # gather only
+        return consume(jnp.take(g.tri_rows, i, axis=0))
+
+    def mt_from(blk, L=8):
+        c = lambda k: blk[..., k * L:(k + 1) * L]
+        v0 = Vec3(c(0), c(1), c(2)); e1_ = Vec3(c(3), c(4), c(5))
+        e2 = Vec3(c(6), c(7), c(8))
+        mid = tv._i32(c(9)) >> 1
+        ok, t, _, _ = tv._mt_test(v0, e1_, e2, oe, de, tv.T_MIN,
+                                  tbound[:, None])
+        tm = jnp.where(ok & (mid >= 0), t, jnp.inf)
+        return jnp.min(tm, axis=-1), jnp.argmin(tm, axis=-1)
+
+    def e2(i):  # gather + MT
+        return mt_from(jnp.take(g.tri_rows, i, axis=0))
+
+    def e3(_):  # MT on constant rows (no gather)
+        return mt_from(blk_const)
+
+    def e4(i):  # node gather + slab, for reference
+        bmin8, bmax8, cba, lb, lm, im, _ = tv._fetch_node8(
+            g, jnp.clip(i, 0, g.num_nodes - 1))
+        return tv._hitmask8(tv._slab8(bmin8, bmax8, o, tv._safe_inv(d),
+                                      tbound))
+
+    def e5(_):  # slab on constant node rows (no gather)
+        row = blk_const[:, 0:64]
+        bmin8 = (row[:, 0:8], row[:, 8:16], row[:, 16:24])
+        bmax8 = (row[:, 24:32], row[:, 32:40], row[:, 40:48])
+        return tv._hitmask8(tv._slab8(bmin8, bmax8, o, tv._safe_inv(d),
+                                      tbound))
+
+    print(f"-- E: leaf-path isolation at {R} lanes --")
+    for name, fn, arg in (("tri gather only", e1, blkidx),
+                          ("tri gather + MT", e2, blkidx),
+                          ("MT on const rows", e3, blkidx),
+                          ("node gather + slab", e4, blkidx),
+                          ("slab on const rows", e5, blkidx)):
+        ms = timeit(jax.jit(fn), arg, reps=10) * 1e3
+        print(f"  {name:24s} {ms:8.2f} ms")
+
+
+def part_g(sc, R=2_200_000):
+    """Layout ablation: the MT/slab blocks run on (R, 8) arrays whose minor
+    dim uses 8 of the VPU's 128 lanes — if Mosaic pads the minor dim, every
+    intermediate is 16x the useful bytes.  Compare slot-major (8, R)
+    variants where the minor dim is the wavefront."""
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    o, d = _camera_rays(sc, R)
+    rng = np.random.default_rng(0)
+    blkidx = jnp.asarray(rng.integers(0, g.num_tri_blocks, R).astype(np.int32))
+    nidx = jnp.asarray(rng.integers(0, g.num_nodes, R).astype(np.int32))
+    tbound = jnp.full((R,), 25.0)
+    L = 8
+
+    # pre-transposed tables (what assemble_geometry would store)
+    tri_T = jnp.asarray(np.asarray(g.tri_rows).T.copy())  # (80, NB)
+    node_T = jnp.asarray(np.asarray(g.node_rows).T.copy())  # (64, N)
+
+    def mt_slotmajor(cols, oo, dd):
+        """cols: (80, R) slot-major gathered rows -> per-lane best (t, slot).
+        All intermediates are (R,) dense or (8, R)."""
+        c = lambda k: cols[k * L:(k + 1) * L]  # (8, R)
+        v0 = Vec3(c(0), c(1), c(2))
+        e1_ = Vec3(c(3), c(4), c(5))
+        e2 = Vec3(c(6), c(7), c(8))
+        mid = tv._i32(c(9)) >> 1
+        ok, t, _, _ = tv._mt_test(v0, e1_, e2,
+                                  oo.map(lambda x: x[None, :]),
+                                  dd.map(lambda x: x[None, :]),
+                                  tv.T_MIN, tbound[None, :])
+        tm = jnp.where(ok & (mid >= 0), t, jnp.inf)
+        return jnp.min(tm, axis=0), jnp.argmin(tm, axis=0)
+
+    def g1(i):  # current: gather (R,80) rows + row-major MT
+        blk = jnp.take(g.tri_rows, i, axis=0)
+        oe = o.map(lambda c: c[:, None])
+        de = d.map(lambda c: c[:, None])
+        c = lambda k: blk[..., k * L:(k + 1) * L]
+        v0 = Vec3(c(0), c(1), c(2)); e1_ = Vec3(c(3), c(4), c(5))
+        e2 = Vec3(c(6), c(7), c(8))
+        mid = tv._i32(c(9)) >> 1
+        ok, t, _, _ = tv._mt_test(v0, e1_, e2, oe, de, tv.T_MIN,
+                                  tbound[:, None])
+        tm = jnp.where(ok & (mid >= 0), t, jnp.inf)
+        return jnp.min(tm, axis=-1), jnp.argmin(tm, axis=-1)
+
+    def g2(i):  # gather rows then transpose -> slot-major MT
+        blk = jnp.take(g.tri_rows, i, axis=0)  # (R, 80)
+        return mt_slotmajor(blk.T, o, d)
+
+    def g3(i):  # gather COLUMNS from pre-transposed table -> slot-major MT
+        cols = jnp.take(tri_T, i, axis=1)  # (80, R)
+        return mt_slotmajor(cols, o, d)
+
+    def slab_slotmajor(cols, oo, inv, tb):
+        """cols: (64, R); slab on (8, R) arrays -> (R,) int32 mask."""
+        bmin8 = (cols[0:8], cols[8:16], cols[16:24])
+        bmax8 = (cols[24:32], cols[32:40], cols[40:48])
+        oc = (oo.x[None, :], oo.y[None, :], oo.z[None, :])
+        ic = (inv.x[None, :], inv.y[None, :], inv.z[None, :])
+        t_enter = jnp.zeros((8, R), jnp.float32)
+        t_exit = jnp.broadcast_to(tb[None, :], (8, R))
+        for a in range(3):
+            t0 = (bmin8[a] - oc[a]) * ic[a]
+            t1 = (bmax8[a] - oc[a]) * ic[a]
+            t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
+            t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+        hits = t_enter <= t_exit  # (8, R)
+        m = jnp.zeros((R,), jnp.int32)
+        for k in range(8):
+            m = m | jnp.where(hits[k], jnp.int32(1 << k), 0)
+        return m
+
+    def s1(i):  # current node fetch + slab (row-major)
+        bmin8, bmax8, *_ = tv._fetch_node8(g, i)
+        return tv._hitmask8(tv._slab8(bmin8, bmax8, o, tv._safe_inv(d),
+                                      tbound))
+
+    def s2(i):  # transposed-table column gather + slot-major slab
+        cols = jnp.take(node_T, i, axis=1)  # (64, R)
+        return slab_slotmajor(cols, o, tv._safe_inv(d), tbound)
+
+    def s3(i):  # row gather + transpose + slot-major slab
+        cols = jnp.take(g.node_rows, i, axis=0).T
+        return slab_slotmajor(cols, o, tv._safe_inv(d), tbound)
+
+    print(f"-- G: slot-major layout ablation at {R} lanes --")
+    for name, fn, arg in (("MT row-major (current)", g1, blkidx),
+                          ("MT gather+transpose", g2, blkidx),
+                          ("MT col-gather of (80,NB)", g3, blkidx),
+                          ("slab row-major (current)", s1, nidx),
+                          ("slab col-gather of (64,N)", s2, nidx),
+                          ("slab gather+transpose", s3, nidx)):
+        ms = timeit(jax.jit(fn), arg, reps=10) * 1e3
+        print(f"  {name:28s} {ms:8.2f} ms")
+
+
 if __name__ == "__main__":
     _main()
+
+
+def part_f(R=2_200_000):
+    """One-hot MXU 'gather' vs jnp.take for SMALL tables (top tree levels).
+
+    Gather issue rate is ~5.5 ns/index regardless of table size below
+    30 MB; if a (R,N) one-hot bf16 matmul fetches the same rows faster for
+    N <= a few hundred, the top-of-tree node fetches can ride the MXU.
+    Chained consumer as in part A so XLA cannot factor the fetch."""
+    K = 4
+    rng = np.random.default_rng(0)
+    lane = jnp.asarray(rng.normal(size=(R,)).astype(np.float32))
+    print(f"-- F: one-hot MXU fetch vs gather, {R} lanes, chain K={K} --")
+
+    def consume(row, i, rows):
+        lo = jnp.min(jnp.maximum(row[:, 0:8], lane[:, None]), axis=1)
+        hi = jnp.max(jnp.minimum(row[:, 8:16], lane[:, None]), axis=1)
+        m = (lo <= hi).astype(jnp.int32)
+        return (i * 1664525 + 1013904223 + m) % rows, lo - hi
+
+    def chain_take(i0, t, rows):
+        def body(k, carry):
+            i, acc = carry
+            row = jnp.take(t, i, axis=0)
+            i2, dv = consume(row, i, rows)
+            return (i2, acc + dv)
+        _, acc = jax.lax.fori_loop(0, K, body, (i0, jnp.zeros((R,))))
+        return acc
+
+    def chain_onehot(i0, t, rows):
+        tb = t.astype(jnp.bfloat16)
+        col = jnp.arange(rows, dtype=jnp.int32)[None, :]
+
+        def body(k, carry):
+            i, acc = carry
+            oh = (i[:, None] == col).astype(jnp.bfloat16)
+            row = jax.lax.dot_general(
+                oh, tb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            i2, dv = consume(row, i, rows)
+            return (i2, acc + dv)
+        _, acc = jax.lax.fori_loop(0, K, body, (i0, jnp.zeros((R,))))
+        return acc
+
+    for rows in (128, 256, 512, 1024, 4096):
+        tbl = jnp.asarray(rng.normal(size=(rows, 64)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, rows, R).astype(np.int32))
+        ms_t = timeit(jax.jit(lambda i, t, n=rows: chain_take(i, t, n)),
+                      idx, tbl) * 1e3 / K
+        ms_o = timeit(jax.jit(lambda i, t, n=rows: chain_onehot(i, t, n)),
+                      idx, tbl) * 1e3 / K
+        print(f"  N={rows:5d}: take {ms_t:7.2f} ms  onehot {ms_o:7.2f} ms "
+              f" ({ms_t/ms_o:4.1f}x)")
