@@ -90,7 +90,7 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
         _, out = trace_path(geom, materials, lights, n_lights, sky, ray,
                             sub, max_depth, split=split,
                             use_brute=use_brute, rr_enabled=rr_enabled,
-                            rr_start=rr_start)
+                            rr_start=rr_start, pixel_grid=True)
         return out
 
     def batch_parts(s0, sb):

@@ -794,12 +794,57 @@ def _finalize_closest(o: Vec3, d: Vec3, s: dict, shape) -> Hit:
     )
 
 
-def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX) -> Hit:
+# packet closest-hit tile size: 4x4 (P=16) measured 2.0x on 1080p camera
+# rays (P=64 loses: the union of leaf visits grows faster than the gather
+# amortization); PTRT_PACKET_CLOSEST=0 forces the per-ray walk
+PACKET_CLOSEST = _env_int("PTRT_PACKET_CLOSEST", 1, 0, 1)
+_PKC_TH = 4
+_PKC_TW = 4
+
+
+def _packet_closest_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> dict:
+    """Closest-hit over a (..., H, W) pixel-grid wavefront via 4x4-tile
+    packets; returns the raw {t, best} state FLATTENED back to the
+    wavefront's own lane order (ready for ``_reconstruct_hit``)."""
+    from ptrt_tpu.render import packet as pk
+
+    h, w = shape[-2], shape[-1]
+    th, tw = _PKC_TH, _PKC_TW
+    ph, pw = -(-h // th) * th, -(-w // tw) * tw
+    nlead = 1
+    for sdim in shape[:-2]:
+        nlead *= sdim
+
+    def prep(a, fill):
+        a = jnp.broadcast_to(a, shape).reshape((nlead, h, w))
+        if (ph, pw) != (h, w):
+            a = jnp.pad(a, ((0, 0), (0, ph - h), (0, pw - w)),
+                        constant_values=fill)
+        a = pk.tile_to_packets(a, ph, pw, th, tw)
+        return a.reshape((nlead * (ph // th) * (pw // tw), th * tw))
+
+    def unprep(a):
+        a = a.reshape((nlead, (ph // th) * (pw // tw), th * tw))
+        a = pk.packets_to_tile(a, ph, pw, th, tw)
+        return a[:, :h, :w].reshape(shape).reshape(-1)
+
+    s = pk.packet_closest(gs, o.map(lambda c: prep(c, 0.0)),
+                          d.map(lambda c: prep(c, 1.0)),
+                          prep(jnp.asarray(t_max, jnp.float32), -1.0))
+    return {"t": unprep(s["t"]), "best": unprep(s["best"])}
+
+
+def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX,
+                      coherent: bool = False) -> Hit:
     """Closest-hit over the wavefront (``traceRay``,
     ``intersection.cuh:526-605``).  Lanes with t_max <= 0 are dead and exit
     without traversing.  Accepts a flat ``SceneGeometry`` or a two-level
     ``WorldGeometry`` (static pass first to tighten t, then one bounded
-    pass per dynamic instance in its local frame)."""
+    pass per dynamic instance in its local frame).
+
+    ``coherent=True`` marks a pixel-grid wavefront (trailing dims H, W):
+    the static walk runs per 4x4-tile packet (``render/packet.py``) —
+    exact, measured 2.0x on 1080p camera rays."""
     from ptrt_tpu.geometry.scene_geom import WorldGeometry
 
     shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
@@ -807,13 +852,19 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX) -> Hit:
     total = 1
     for sdim in shape:
         total *= sdim
+    use_pk = (coherent and PACKET_CLOSEST and len(shape) >= 2
+              and total >= _PK_MIN_PIXELS)
+    gs = geom.static if isinstance(geom, WorldGeometry) else geom
+    raw_pk = (_packet_closest_grid(gs, o, d, t_max, shape) if use_pk
+              else None)
     o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
     d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
     t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                           shape).reshape(total)
 
     if isinstance(geom, WorldGeometry):
-        s = _closest_state(geom.static, o, d, t0)
+        s = (_reconstruct_hit(gs, o, d, raw_pk) if use_pk
+             else _closest_state(geom.static, o, d, t0))
         if geom.iset is not None:
             s = _instances_closest_batched(geom.iset, o, d, s)
         else:
@@ -822,7 +873,8 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX) -> Hit:
                 s = _merge_instance_closest(s, inst, o, d, inv_d,
                                             _closest_state)
     else:
-        s = _closest_state(geom, o, d, t0)
+        s = (_reconstruct_hit(gs, o, d, raw_pk) if use_pk
+             else _closest_state(geom, o, d, t0))
     return _finalize_closest(o, d, s, shape)
 
 
@@ -958,10 +1010,60 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
     return s["hit"]
 
 
-def intersect_any(geom, o: Vec3, d: Vec3, t_max) -> jnp.ndarray:
+# packet any-hit (render/packet.py): ONE walk per 8x8 pixel tile — measured
+# 6.8x on 1080p shadow rays (the gathers amortize across the tile and
+# occluded packets early-out).  Enabled for pixel-grid wavefronts via the
+# ``coherent`` hint; PTRT_PACKET_ANY=0 forces the per-ray walk.
+PACKET_ANY = _env_int("PTRT_PACKET_ANY", 1, 0, 1)
+_PK_TH = 8
+_PK_TW = 8
+# below this wavefront size the per-ray walk is used even with
+# coherent=True (packet bookkeeping only pays off at scale); tests set
+# PTRT_PK_MIN_PIXELS=0 to exercise the packet path on tiny frames
+_PK_MIN_PIXELS = _env_int("PTRT_PK_MIN_PIXELS", 16384, 0, 1 << 30)
+
+
+def _packet_any_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> jnp.ndarray:
+    """Any-hit over a (..., H, W) pixel-grid wavefront via tile packets.
+    H/W are padded to tile multiples with dead rays (t = -1); the padded
+    rays never hit and are cropped away."""
+    from ptrt_tpu.render import packet as pk
+
+    h, w = shape[-2], shape[-1]
+    th, tw = _PK_TH, _PK_TW
+    ph, pw = -(-h // th) * th, -(-w // tw) * tw
+    nlead = 1
+    for sdim in shape[:-2]:
+        nlead *= sdim
+
+    def prep(a, fill):
+        a = jnp.broadcast_to(a, shape).reshape((nlead, h, w))
+        if (ph, pw) != (h, w):
+            a = jnp.pad(a, ((0, 0), (0, ph - h), (0, pw - w)),
+                        constant_values=fill)
+        a = pk.tile_to_packets(a, ph, pw, th, tw)
+        return a.reshape((nlead * (ph // th) * (pw // tw), th * tw))
+
+    o_p = o.map(lambda c: prep(c, 0.0))
+    d_p = d.map(lambda c: prep(c, 1.0))
+    t_p = prep(jnp.asarray(t_max, jnp.float32), -1.0)
+    hit = pk.packet_any(gs, o_p, d_p, t_p)
+    hit = hit.reshape((nlead, ph // th, pw // tw, th * tw))
+    hit = pk.packets_to_tile(hit.reshape((nlead, -1, th * tw)), ph, pw,
+                             th, tw)
+    return hit[:, :h, :w].reshape(shape)
+
+
+def intersect_any(geom, o: Vec3, d: Vec3, t_max,
+                  coherent: bool = False) -> jnp.ndarray:
     """Shadow any-hit; skips transmissive occluders, matching
     ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``).  Accepts a flat
-    ``SceneGeometry`` or a two-level ``WorldGeometry``."""
+    ``SceneGeometry`` or a two-level ``WorldGeometry``.
+
+    ``coherent=True`` marks the wavefront as a pixel grid (trailing two
+    dims = H, W): the static-world walk then runs per 8x8-tile PACKET
+    (``render/packet.py``) — exact, and measured 6.8x faster on 1080p
+    shadow rays."""
     from ptrt_tpu.geometry.scene_geom import WorldGeometry
 
     shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
@@ -969,13 +1071,17 @@ def intersect_any(geom, o: Vec3, d: Vec3, t_max) -> jnp.ndarray:
     total = 1
     for sdim in shape:
         total *= sdim
+    gs = geom.static if isinstance(geom, WorldGeometry) else geom
+    use_pk = (coherent and PACKET_ANY and len(shape) >= 2
+              and total >= _PK_MIN_PIXELS)
+    if use_pk:
+        hit_g = _packet_any_grid(gs, o, d, t_max, shape)
     o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
     d = d.broadcast_to(shape).map(lambda c: c.reshape(total))
     t_f = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                            shape).reshape(total)
 
-    hit = _any_state(geom.static if isinstance(geom, WorldGeometry) else geom,
-                     o, d, t_f)
+    hit = hit_g.reshape(total) if use_pk else _any_state(gs, o, d, t_f)
     if isinstance(geom, WorldGeometry):
         if geom.iset is not None:
             hit = _instances_any_batched(geom.iset, o, d, t_f, hit)

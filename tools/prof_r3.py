@@ -172,7 +172,7 @@ def _main():
         part_a(R)
     if "f" in which:
         part_f(R)
-    if set(which) & set("bcdeg"):
+    if set(which) & set("bcdeghi"):
         sc = build_bench_scene(1920, 1080, target_tris=tris)
         sc._ensure_device_state()
         if "b" in which:
@@ -185,6 +185,10 @@ def _main():
             part_e(sc, R)
         if "g" in which:
             part_g(sc, R)
+        if "h" in which:
+            part_h(sc)
+        if "i" in which:
+            part_i(sc)
 
 
 def part_d(sc, R=2_200_000):
@@ -394,6 +398,123 @@ def part_g(sc, R=2_200_000):
                           ("slab gather+transpose", s3, nidx)):
         ms = timeit(jax.jit(fn), arg, reps=10) * 1e3
         print(f"  {name:28s} {ms:8.2f} ms")
+
+
+def part_h(sc, R=2_073_600):
+    """Packet traversal vs per-ray walk on camera rays (1080p tiles)."""
+    from ptrt_tpu.render import packet as pk
+
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    h, w = 1080, 1920
+    o, d = _camera_rays(sc, h * w)
+    npkt = (h // 8) * (w // 8)
+
+    def to_pk(c):
+        return pk.tile_to_packets(c.reshape(h, w), h, w)
+
+    o_p = o.map(to_pk)
+    d_p = d.map(to_pk)
+    t0_p = jnp.full((npkt, 64), 1e30)
+
+    print(f"-- H: packet vs per-ray, {h}x{w} camera rays, "
+          f"{npkt} packets of 64 --")
+    f_ray = jax.jit(lambda oo, dd: tv.intersect_closest(g, oo, dd).t)
+    ms_ray = timeit(f_ray, o, d, reps=5) * 1e3
+    print(f"  per-ray closest: {ms_ray:8.1f} ms "
+          f"({h*w/ms_ray/1e3:6.1f} Mrays/s)")
+
+    f_pk = jax.jit(lambda oo, dd: pk.packet_closest(g, oo, dd, t0_p)["t"])
+    ms_pk = timeit(f_pk, o_p, d_p, reps=5) * 1e3
+    print(f"  packet  closest: {ms_pk:8.1f} ms "
+          f"({h*w/ms_pk/1e3:6.1f} Mrays/s)  {ms_ray/ms_pk:4.1f}x")
+
+    # equivalence
+    t_ray = np.asarray(f_ray(o, d)).reshape(h, w)
+    t_pk = np.asarray(pk.packets_to_tile(f_pk(o_p, d_p), h, w))
+    t_ray_f = np.where(t_ray > 1e29, 0, t_ray)
+    t_pk_f = np.where(t_pk > 1e29, 0, t_pk)
+    bad = np.abs(t_ray_f - t_pk_f) > 1e-3 * np.maximum(t_ray_f, 1.0)
+    print(f"  t mismatch frac: {bad.mean():.2e}")
+
+    # any-hit: shadow-ray-like (toward a point above the scene)
+    tgt = Vec3(jnp.float32(0.0), jnp.float32(8.0), jnp.float32(6.0))
+    to_l = Vec3(tgt.x - o.x, tgt.y - o.y, tgt.z - o.z)
+    dist = jnp.sqrt(to_l.dot(to_l))
+    d_s = Vec3(to_l.x / dist, to_l.y / dist, to_l.z / dist)
+    tf = dist * 0.999
+    f_anyr = jax.jit(lambda oo, dd, tt: tv.intersect_any(g, oo, dd, tt))
+    ms_ar = timeit(f_anyr, o, d_s, tf, reps=5) * 1e3
+    print(f"  per-ray any:     {ms_ar:8.1f} ms")
+    d_sp = d_s.map(to_pk)
+    tf_p = to_pk(tf)
+    f_anyp = jax.jit(lambda oo, dd, tt: pk.packet_any(g, oo, dd, tt))
+    ms_ap = timeit(f_anyp, o_p, d_sp, tf_p, reps=5) * 1e3
+    print(f"  packet  any:     {ms_ap:8.1f} ms  {ms_ar/ms_ap:4.1f}x")
+    h_ray = np.asarray(f_anyr(o, d_s, tf)).reshape(h, w)
+    h_pk = np.asarray(pk.packets_to_tile(f_anyp(o_p, d_sp, tf_p), h, w))
+    print(f"  any mismatch frac: {(h_ray != h_pk).mean():.2e}")
+
+
+def part_i(sc):
+    """Packet-size sweep + incoherent (bounce-like) workloads: where do
+    packets win?  Secondary rays keep the camera's TILE grouping (their
+    origins are the tile's hit points) but scatter directions."""
+    from ptrt_tpu.render import packet as pk
+
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    h, w = 1080, 1920
+    o, d = _camera_rays(sc, h * w)
+    hit = jax.jit(lambda oo, dd: tv.intersect_closest(g, oo, dd))(o, d)
+    jax.block_until_ready(hit.t)
+    # bounce-1 rays: origin = hit point (+normal offset), cosine dir
+    rng = np.random.default_rng(3)
+    n = np.stack([np.asarray(hit.normal.x), np.asarray(hit.normal.y),
+                  np.asarray(hit.normal.z)], -1)
+    nrm = np.where(np.asarray(hit.hit)[:, None], n, np.array([0, 1, 0.0]))
+    r1, r2 = rng.uniform(size=(2, h * w))
+    st = np.sqrt(r1)
+    phi = 2 * np.pi * r2
+    # local cosine sample -> world via ONB
+    a = np.where(np.abs(nrm[:, 1:2]) < 0.9, np.array([0, 1, 0.0]),
+                 np.array([1, 0, 0.0]))
+    tb = np.cross(a, nrm)
+    tb /= np.maximum(np.linalg.norm(tb, axis=1, keepdims=True), 1e-9)
+    bb = np.cross(nrm, tb)
+    dloc = (tb * (st * np.cos(phi))[:, None] + bb * (st * np.sin(phi))[:, None]
+            + nrm * np.sqrt(np.maximum(1 - r1, 0))[:, None])
+    o2 = Vec3(hit.point.x + hit.normal.x * 1e-3,
+              hit.point.y + hit.normal.y * 1e-3,
+              hit.point.z + hit.normal.z * 1e-3)
+    d2 = Vec3(*[jnp.asarray(dloc[:, k].astype(np.float32)) for k in range(3)])
+    live = jnp.asarray(np.asarray(hit.hit))
+    t_b = jnp.where(live, 1e30, -1.0)
+    tf_b = jnp.where(live, 30.0, -1.0)
+
+    print("-- I: packet sweep + bounce-like workloads (1080p tiles) --")
+    f_ray = jax.jit(lambda oo, dd, tt: tv.intersect_closest(g, oo, dd, tt).t)
+    ms = timeit(f_ray, o2, d2, t_b, reps=5) * 1e3
+    print(f"  per-ray closest bounce1: {ms:8.1f} ms")
+    f_any = jax.jit(lambda oo, dd, tt: tv.intersect_any(g, oo, dd, tt))
+    ms = timeit(f_any, o2, d2, tf_b, reps=5) * 1e3
+    print(f"  per-ray any     bounce1: {ms:8.1f} ms")
+
+    for P, th, tw in ((16, 4, 4), (32, 4, 8), (64, 8, 8)):
+        to_p = lambda c: pk.tile_to_packets(c.reshape(h, w), h, w, th, tw)
+        o_p = o.map(to_p)
+        d_p = d.map(to_p)
+        t0_p = jnp.full(((h // th) * (w // tw), P), 1e30)
+        f_pk = jax.jit(
+            lambda oo, dd, tt: pk.packet_closest(g, oo, dd, tt)["t"])
+        ms = timeit(f_pk, o_p, d_p, t0_p, reps=5) * 1e3
+        print(f"  packet{P:3d} closest camera:  {ms:8.1f} ms")
+        o2p, d2p = o2.map(to_p), d2.map(to_p)
+        ms = timeit(f_pk, o2p, d2p, to_p(t_b), reps=5) * 1e3
+        print(f"  packet{P:3d} closest bounce1: {ms:8.1f} ms")
+        f_pa = jax.jit(lambda oo, dd, tt: pk.packet_any(g, oo, dd, tt))
+        ms = timeit(f_pa, o2p, d2p, to_p(tf_b), reps=5) * 1e3
+        print(f"  packet{P:3d} any     bounce1: {ms:8.1f} ms")
 
 
 if __name__ == "__main__":
