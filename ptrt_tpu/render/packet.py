@@ -205,6 +205,57 @@ def _seed_packet_root(st, geom, o_iv, i_iv, mixed, t_bound, octant, any_live):
                 ord_i=ordpack)
 
 
+def make_closest_bodies(geom: SceneGeometry, o_s: Vec3, d_s: Vec3, live_s,
+                        iota_d):
+    """Closest-walk (body, body_node) over packeted rays + the packet
+    intervals; exposed for the compaction restart and the profiler."""
+    o_iv, i_iv, mixed, octant = _packet_intervals(o_s, d_s, live_s)
+    oe = o_s.map(lambda c: c[:, :, None])
+    de = d_s.map(lambda c: c[:, :, None])
+
+    def t_bound(st):
+        # packet node-pruning bound: worst live ray's best t
+        return jnp.max(jnp.where(live_s, st["t"], -1.0), axis=1)
+
+    def leaf_action(st):
+        has_leaf = st["mask_l"] != 0
+        blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
+                       geom.num_tri_blocks - 1)
+        v0, e1, e2, mesh_id, _ = _fetch_leaf(geom, blk)  # (npkt, 8)
+        mid = lambda a: a[:, None, :]  # (npkt, 1, 8)
+        ok, t, _, _ = _mt_test(v0.map(mid), e1.map(mid), e2.map(mid),
+                               oe, de, T_MIN, st["t"][:, :, None])
+        ok = ok & has_leaf[:, None, None] & (mesh_id[:, None, :] >= 0)
+        tm = jnp.where(ok, t, jnp.inf)
+        tbest = jnp.min(tm, axis=-1)  # (npkt, P)
+        found = tbest < st["t"]
+        slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
+        return dict(
+            st,
+            mask_l=st["mask_l"] & (st["mask_l"] - 1),
+            t=jnp.where(found, tbest, st["t"]),
+            best=jnp.where(found, blk[:, None] * LEAF_SIZE + slot,
+                           st["best"]),
+        )
+
+    def body(s):
+        st, k = s
+        st = _pop_cur(st, iota_d)
+        st = leaf_action(st)
+        st = _descend_packet(st, geom, o_iv, i_iv, mixed, t_bound(st),
+                             iota_d, octant)
+        return st, k + 1
+
+    def body_node(s):
+        st, k = s
+        st = _pop_cur(st, iota_d)
+        st = _descend_packet(st, geom, o_iv, i_iv, mixed, t_bound(st),
+                             iota_d, octant)
+        return st, k + 1
+
+    return (body, body_node), (o_iv, i_iv, mixed, octant)
+
+
 def packet_closest(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
     """Closest-hit walk over (npkt, P) packeted rays; rays with t0 <= 0 are
     dead.  Returns {t, best} shaped (npkt, P) (same contract as
@@ -220,51 +271,7 @@ def packet_closest(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
                  best=jnp.full((npkt, P), -1, jnp.int32))
 
     def make_bodies(o_s, d_s, live_s):
-        o_iv, i_iv, mixed, octant = _packet_intervals(o_s, d_s, live_s)
-        oe = o_s.map(lambda c: c[:, :, None])
-        de = d_s.map(lambda c: c[:, :, None])
-
-        def t_bound(st):
-            # packet node-pruning bound: worst live ray's best t
-            return jnp.max(jnp.where(live_s, st["t"], -1.0), axis=1)
-
-        def leaf_action(st):
-            has_leaf = st["mask_l"] != 0
-            blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
-                           geom.num_tri_blocks - 1)
-            v0, e1, e2, mesh_id, _ = _fetch_leaf(geom, blk)  # (npkt, 8)
-            mid = lambda a: a[:, None, :]  # (npkt, 1, 8)
-            ok, t, _, _ = _mt_test(v0.map(mid), e1.map(mid), e2.map(mid),
-                                   oe, de, T_MIN, st["t"][:, :, None])
-            ok = ok & has_leaf[:, None, None] & (mesh_id[:, None, :] >= 0)
-            tm = jnp.where(ok, t, jnp.inf)
-            tbest = jnp.min(tm, axis=-1)  # (npkt, P)
-            found = tbest < st["t"]
-            slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
-            return dict(
-                st,
-                mask_l=st["mask_l"] & (st["mask_l"] - 1),
-                t=jnp.where(found, tbest, st["t"]),
-                best=jnp.where(found, blk[:, None] * LEAF_SIZE + slot,
-                               st["best"]),
-            )
-
-        def body(s):
-            st, k = s
-            st = _pop_cur(st, iota_d)
-            st = leaf_action(st)
-            st = _descend_packet(st, geom, o_iv, i_iv, mixed, t_bound(st),
-                                 iota_d, octant)
-            return st, k + 1
-
-        def body_node(s):
-            st, k = s
-            st = _pop_cur(st, iota_d)
-            st = _descend_packet(st, geom, o_iv, i_iv, mixed, t_bound(st),
-                                 iota_d, octant)
-            return st, k + 1
-
-        return (body, body_node), (o_iv, i_iv, mixed, octant)
+        return make_closest_bodies(geom, o_s, d_s, live_s, iota_d)
 
     (body, body_node), ivs = make_bodies(o, d, live)
     state = _seed_packet_root(state, geom, ivs[0], ivs[1], ivs[2],

@@ -189,6 +189,8 @@ def _main():
             part_h(sc)
         if "i" in which:
             part_i(sc)
+        if "j" in which:
+            part_j(sc)
 
 
 def part_d(sc, R=2_200_000):
@@ -515,6 +517,70 @@ def part_i(sc):
         f_pa = jax.jit(lambda oo, dd, tt: pk.packet_any(g, oo, dd, tt))
         ms = timeit(f_pa, o2p, d2p, to_p(tf_b), reps=5) * 1e3
         print(f"  packet{P:3d} any     bounce1: {ms:8.1f} ms")
+
+
+def part_j(sc):
+    """Packet closest-walk anatomy (4x4 packets, 1080p camera rays):
+    per-iteration cost at full width, iterations-to-drain profile, and a
+    leaf-usefulness measure (how much denser the packet's leaf stream is
+    than the per-ray walk's)."""
+    from ptrt_tpu.render import packet as pk
+
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    h, w = 1080, 1920
+    th, tw = 4, 4
+    P = th * tw
+    npkt = (h // th) * (w // tw)
+    o, d = _camera_rays(sc, h * w)
+    to_p = lambda c: pk.tile_to_packets(c.reshape(h, w), h, w, th, tw)
+    o_p, d_p = o.map(to_p), d.map(to_p)
+    live = jnp.ones((npkt, P), bool)
+
+    iota_d = jnp.arange(g.stack_depth, dtype=jnp.int32)
+    (body, body_node), ivs = pk.make_closest_bodies(g, o_p, d_p, live,
+                                                    iota_d)
+    st = tv._init_walk_state(npkt, g.stack_depth, jnp.ones((npkt,), bool),
+                             ordered=True)
+    st.update(t=jnp.full((npkt, P), 1e30),
+              best=jnp.full((npkt, P), -1, jnp.int32))
+    st = pk._seed_packet_root(st, g, ivs[0], ivs[1], ivs[2],
+                              jnp.full((npkt,), 1e30), ivs[3],
+                              jnp.ones((npkt,), bool))
+
+    step = jax.jit(lambda s: body((s, jnp.int32(0)))[0])
+    stepn = jax.jit(lambda s: body_node((s, jnp.int32(0)))[0])
+    count = jax.jit(lambda s: jnp.sum(tv._active(s).astype(jnp.int32)))
+    leafw = jax.jit(lambda s: jnp.sum((s["mask_l"] != 0).astype(jnp.int32)))
+
+    print(f"-- J: packet closest anatomy ({npkt} packets of {P}) --")
+    t_full = timeit(step, st, reps=5)
+    t_node = timeit(stepn, st, reps=5)
+    print(f"  full-body iteration at full width: {t_full*1e3:8.2f} ms")
+    print(f"  node-only iteration at full width: {t_node*1e3:8.2f} ms "
+          f"(leaf path = {100*(1-t_node/t_full):.0f}%)")
+
+    widths, leaves = [], []
+    s = st
+    for it in range(400):
+        n = int(count(s))
+        if n == 0:
+            break
+        widths.append(n)
+        leaves.append(int(leafw(s)))
+        s = step(s)
+    widths = np.array(widths)
+    lv = np.array(leaves)
+    print(f"  iterations to drain: {len(widths)}")
+    print(f"  sum(active)/npkt = {widths.sum()/npkt:.2f} per-packet iters")
+    print(f"  leaf visits total: {lv.sum()} "
+          f"({lv.sum()/npkt:.2f} per packet; per-ray MT rows tested: "
+          f"{lv.sum()*P*8/1e6:.1f}M for {h*w/1e6:.1f}M rays)")
+    print(f"  width head: {[round(wv/npkt,3) for wv in widths[:20]]}")
+    # lock-step model: cost ~= sum over iterations of body(width)
+    est = widths.sum() / npkt * t_full * 1e3
+    print(f"  naive cost model (iters x full-body, perfectly compacted): "
+          f"{est:.1f} ms")
 
 
 if __name__ == "__main__":
