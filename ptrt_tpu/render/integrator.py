@@ -17,6 +17,7 @@ NEE clamp 500, final clamp 100 (``:24-29``).
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -82,8 +83,6 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
     whenever the sky has sampling tables.
     """
     if unroll is None:
-        import os as _os
-
         env_u = _os.environ.get("PTRT_UNROLL")
         unroll = (max_depth <= 8) if env_u is None else env_u == "1"
     if env_nee is None:
@@ -338,7 +337,10 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         # fully-unrolled d6 program compiles in ~2 min) — chunking keeps the
         # trip count small (ceil(depth/8)) with a d<=8-sized body, so deep
         # presets (ultra d32, scene.cuh:1834-1842) compile like d8.
-        CHUNK = 8
+        # PTRT_CHUNK tunes the compile-size/scheduler tradeoff per host.
+        CHUNK = int(_os.environ.get("PTRT_CHUNK", "8"))
+        if CHUNK < 1:
+            raise ValueError(f"PTRT_CHUNK must be >= 1, got {CHUNK}")
 
         def chunk_body(s):
             for _ in range(CHUNK):

@@ -256,6 +256,41 @@ def make_closest_bodies(geom: SceneGeometry, o_s: Vec3, d_s: Vec3, live_s,
     return (body, body_node), (o_iv, i_iv, mixed, octant)
 
 
+def packet_closest_partial(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
+                           shrink=None):
+    """HEAD of the packet closest walk: seed + walk only until the
+    unfinished packets fit a 1/shrink tail buffer, then STOP.
+
+    Returns ``({t, best}, packet_unfinished)``.  The caller hands the
+    unfinished packets' rays to the per-ray walk, restarted from scratch
+    with ``t_max`` = the packet phase's current best t — exact, because
+    the per-ray walk re-discovers anything closer than what the packet
+    phase already found.  Rationale (tools/prof_r3.py part J): the mean
+    packet needs ~3.7 iterations but the worst needs 400+ (conservative
+    interval tests blow up on silhouette/horizon packets); the per-ray
+    machine with its own compaction drains that tail ~5x cheaper than
+    packet-granularity compaction does."""
+    npkt, P = jnp.shape(t0)
+    depth = geom.stack_depth
+    iota_d = jnp.arange(depth, dtype=jnp.int32)
+    live = t0 > 0.0
+    any_live = jnp.any(live, axis=1)
+
+    state = _init_walk_state(npkt, depth, any_live, ordered=True)
+    state.update(t=jnp.where(live, t0, -1.0),
+                 best=jnp.full((npkt, P), -1, jnp.int32))
+    (body, body_node), ivs = make_closest_bodies(geom, o, d, live, iota_d)
+    state = _seed_packet_root(state, geom, ivs[0], ivs[1], ivs[2],
+                              jnp.max(jnp.where(live, t0, -1.0), axis=1),
+                              ivs[3], any_live)
+    s = _run_walk(body, state, False,
+                  shrink=COMPACT_SHRINK if shrink is None else shrink,
+                  body_node=body_node)
+    unfinished = _active(s)
+    return ({"t": jnp.where(live, s["t"], t0), "best": s["best"]},
+            unfinished)
+
+
 def packet_closest(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
     """Closest-hit walk over (npkt, P) packeted rays; rays with t0 <= 0 are
     dead.  Returns {t, best} shaped (npkt, P) (same contract as
@@ -295,6 +330,81 @@ def packet_closest(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
     return {"t": jnp.where(live, s["t"], t0), "best": s["best"]}
 
 
+def _make_any_bodies(geom: SceneGeometry, o_s: Vec3, d_s: Vec3, t_s, live_s,
+                     iota_d):
+    """Any-hit walk (body, body_node) over packeted rays (shared by
+    ``packet_any`` and ``packet_any_partial``)."""
+    o_iv, i_iv, mixed, octant = _packet_intervals(o_s, d_s, live_s)
+    oe = o_s.map(lambda c: c[:, :, None])
+    de = d_s.map(lambda c: c[:, :, None])
+    t_pkt = jnp.max(jnp.where(live_s, t_s, -1.0), axis=1)
+
+    def leaf_action(st):
+        has_leaf = st["mask_l"] != 0
+        blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
+                       geom.num_tri_blocks - 1)
+        v0, e1, e2, mesh_id, opaque = _fetch_leaf(geom, blk)
+        mid = lambda a: a[:, None, :]
+        ok, _, _, _ = _mt_test(v0.map(mid), e1.map(mid), e2.map(mid),
+                               oe, de, T_MIN, t_s[:, :, None])
+        ok = ok & opaque[:, None, :] & (mesh_id[:, None, :] >= 0)
+        hit = st["hit"] | (jnp.any(ok, axis=-1)
+                           & has_leaf[:, None] & live_s)
+        return dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1),
+                    hit=hit)
+
+    def early_out(st):
+        # all live rays occluded -> drop the packet's remaining work
+        done = jnp.all(st["hit"] | jnp.logical_not(live_s), axis=1)
+        return dict(
+            st,
+            mask_i=jnp.where(done, 0, st["mask_i"]),
+            mask_l=jnp.where(done, 0, st["mask_l"]),
+            sp=jnp.where(done, 0, st["sp"]),
+        )
+
+    def body(s):
+        st, k = s
+        st = _pop_cur(st, iota_d)
+        st = leaf_action(st)
+        st = _descend_packet(st, geom, o_iv, i_iv, mixed, t_pkt,
+                             iota_d, octant)
+        return early_out(st), k + 1
+
+    def body_node(s):
+        st, k = s
+        st = _pop_cur(st, iota_d)
+        st = _descend_packet(st, geom, o_iv, i_iv, mixed, t_pkt,
+                             iota_d, octant)
+        return early_out(st), k + 1
+
+    return (body, body_node), (o_iv, i_iv, mixed, octant, t_pkt)
+
+
+def packet_any_partial(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
+                       shrink=None):
+    """HEAD of the packet any-hit walk (see ``packet_closest_partial``):
+    stop once unfinished packets fit a 1/shrink tail buffer.  Returns
+    ``(hit, packet_unfinished)``; the caller re-runs the unfinished
+    packets' not-yet-occluded rays through the per-ray any walk (exact:
+    hits already found stand, the per-ray walk decides the rest)."""
+    npkt, P = jnp.shape(t_f)
+    depth = geom.stack_depth
+    iota_d = jnp.arange(depth, dtype=jnp.int32)
+    live = t_f > 0.0
+    any_live = jnp.any(live, axis=1)
+
+    state = _init_walk_state(npkt, depth, any_live, ordered=True)
+    state.update(hit=jnp.zeros((npkt, P), bool))
+    (body, body_node), ivs = _make_any_bodies(geom, o, d, t_f, live, iota_d)
+    state = _seed_packet_root(state, geom, ivs[0], ivs[1], ivs[2], ivs[4],
+                              ivs[3], any_live)
+    s = _run_walk(body, state, False,
+                  shrink=ANY_COMPACT_SHRINK if shrink is None else shrink,
+                  body_node=body_node)
+    return s["hit"] & live, _active(s)
+
+
 def packet_any(geom: SceneGeometry, o: Vec3, d: Vec3, t_f) -> jnp.ndarray:
     """Any-hit walk over (npkt, P) packeted rays -> hit (npkt, P) bool.
     A packet early-outs once every live ray is occluded."""
@@ -308,51 +418,7 @@ def packet_any(geom: SceneGeometry, o: Vec3, d: Vec3, t_f) -> jnp.ndarray:
     state.update(hit=jnp.zeros((npkt, P), bool))
 
     def make_bodies(o_s, d_s, t_s, live_s):
-        o_iv, i_iv, mixed, octant = _packet_intervals(o_s, d_s, live_s)
-        oe = o_s.map(lambda c: c[:, :, None])
-        de = d_s.map(lambda c: c[:, :, None])
-        t_pkt = jnp.max(jnp.where(live_s, t_s, -1.0), axis=1)
-
-        def leaf_action(st):
-            has_leaf = st["mask_l"] != 0
-            blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
-                           geom.num_tri_blocks - 1)
-            v0, e1, e2, mesh_id, opaque = _fetch_leaf(geom, blk)
-            mid = lambda a: a[:, None, :]
-            ok, _, _, _ = _mt_test(v0.map(mid), e1.map(mid), e2.map(mid),
-                                   oe, de, T_MIN, t_s[:, :, None])
-            ok = ok & opaque[:, None, :] & (mesh_id[:, None, :] >= 0)
-            hit = st["hit"] | (jnp.any(ok, axis=-1)
-                               & has_leaf[:, None] & live_s)
-            return dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1),
-                        hit=hit)
-
-        def early_out(st):
-            # all live rays occluded -> drop the packet's remaining work
-            done = jnp.all(st["hit"] | jnp.logical_not(live_s), axis=1)
-            return dict(
-                st,
-                mask_i=jnp.where(done, 0, st["mask_i"]),
-                mask_l=jnp.where(done, 0, st["mask_l"]),
-                sp=jnp.where(done, 0, st["sp"]),
-            )
-
-        def body(s):
-            st, k = s
-            st = _pop_cur(st, iota_d)
-            st = leaf_action(st)
-            st = _descend_packet(st, geom, o_iv, i_iv, mixed, t_pkt,
-                                 iota_d, octant)
-            return early_out(st), k + 1
-
-        def body_node(s):
-            st, k = s
-            st = _pop_cur(st, iota_d)
-            st = _descend_packet(st, geom, o_iv, i_iv, mixed, t_pkt,
-                                 iota_d, octant)
-            return early_out(st), k + 1
-
-        return (body, body_node), (o_iv, i_iv, mixed, octant, t_pkt)
+        return _make_any_bodies(geom, o_s, d_s, t_s, live_s, iota_d)
 
     (body, body_node), ivs = make_bodies(o, d, t_f, live)
     state = _seed_packet_root(state, geom, ivs[0], ivs[1], ivs[2], ivs[4],

@@ -800,12 +800,22 @@ def _finalize_closest(o: Vec3, d: Vec3, s: dict, shape) -> Hit:
 PACKET_CLOSEST = _env_int("PTRT_PACKET_CLOSEST", 1, 0, 1)
 _PKC_TH = 4
 _PKC_TW = 4
+# packet-phase handoff: stop the packet walk once unfinished packets fit
+# a 1/shrink buffer and finish their RAYS in the per-ray walk (restarted
+# with the packet phase's tightened t — exact).  part J: mean packet work
+# is ~3.7 iterations but the conservative-interval tail is 400+, which
+# the per-ray machine drains far cheaper.  TPU sweep (prof_r3 part K,
+# 1080p camera rays, 1M tris): shrink 16 -> 125.7 ms vs per-ray 288.6 /
+# shrink 8 261.0 / shrink 32 149.7 — 2.3x per-ray, exact.
+_PKC_HANDOFF_SHRINK = _env_int("PTRT_PKC_HANDOFF_SHRINK", 16, 2, 256)
 
 
 def _packet_closest_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> dict:
-    """Closest-hit over a (..., H, W) pixel-grid wavefront via 4x4-tile
-    packets; returns the raw {t, best} state FLATTENED back to the
-    wavefront's own lane order (ready for ``_reconstruct_hit``)."""
+    """Closest-hit HEAD over a (..., H, W) pixel-grid wavefront via
+    4x4-tile packets; returns {t, best, unfinished} FLATTENED back to the
+    wavefront's own lane order.  ``unfinished`` marks rays whose packet
+    still had pending work at handoff — the caller must finish them with
+    the per-ray walk (t already tightened)."""
     from ptrt_tpu.render import packet as pk
 
     h, w = shape[-2], shape[-1]
@@ -828,10 +838,26 @@ def _packet_closest_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> dict:
         a = pk.packets_to_tile(a, ph, pw, th, tw)
         return a[:, :h, :w].reshape(shape).reshape(-1)
 
-    s = pk.packet_closest(gs, o.map(lambda c: prep(c, 0.0)),
-                          d.map(lambda c: prep(c, 1.0)),
-                          prep(jnp.asarray(t_max, jnp.float32), -1.0))
-    return {"t": unprep(s["t"]), "best": unprep(s["best"])}
+    t_p = prep(jnp.asarray(t_max, jnp.float32), -1.0)
+    s, unfin = pk.packet_closest_partial(
+        gs, o.map(lambda c: prep(c, 0.0)), d.map(lambda c: prep(c, 1.0)),
+        t_p, shrink=_PKC_HANDOFF_SHRINK)
+    unfin_rays = jnp.broadcast_to(unfin[:, None], t_p.shape)
+    return {"t": unprep(s["t"]), "best": unprep(s["best"]),
+            "unfinished": unprep(unfin_rays)}
+
+
+def _hybrid_closest_state(gs, o: Vec3, d: Vec3, t0, raw_pk: dict) -> dict:
+    """Finish the packet head: per-ray walk over the unfinished rays
+    (others enter dead), merged with the packet phase's results."""
+    t_restart = jnp.where(raw_pk["unfinished"] & (t0 > 0.0),
+                          raw_pk["t"], -1.0)
+    s_ray = _walk_closest_raw(gs, o, d, t_restart)
+    closer = s_ray["best"] >= 0
+    return _reconstruct_hit(gs, o, d, {
+        "t": jnp.where(closer, s_ray["t"], raw_pk["t"]),
+        "best": jnp.where(closer, s_ray["best"], raw_pk["best"]),
+    })
 
 
 def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX,
@@ -863,7 +889,7 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX,
                           shape).reshape(total)
 
     if isinstance(geom, WorldGeometry):
-        s = (_reconstruct_hit(gs, o, d, raw_pk) if use_pk
+        s = (_hybrid_closest_state(gs, o, d, t0, raw_pk) if use_pk
              else _closest_state(geom.static, o, d, t0))
         if geom.iset is not None:
             s = _instances_closest_batched(geom.iset, o, d, s)
@@ -873,7 +899,7 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX,
                 s = _merge_instance_closest(s, inst, o, d, inv_d,
                                             _closest_state)
     else:
-        s = (_reconstruct_hit(gs, o, d, raw_pk) if use_pk
+        s = (_hybrid_closest_state(gs, o, d, t0, raw_pk) if use_pk
              else _closest_state(geom, o, d, t0))
     return _finalize_closest(o, d, s, shape)
 
@@ -1017,6 +1043,9 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
 PACKET_ANY = _env_int("PTRT_PACKET_ANY", 1, 0, 1)
 _PK_TH = 8
 _PK_TW = 8
+# any-hit packet->per-ray handoff (see _PKC_HANDOFF_SHRINK): 0 disables
+# (pure packet walk with packet-granularity compaction)
+_PKA_HANDOFF_SHRINK = _env_int("PTRT_PKA_HANDOFF_SHRINK", 0, 0, 256)
 # below this wavefront size the per-ray walk is used even with
 # coherent=True (packet bookkeeping only pays off at scale); tests set
 # PTRT_PK_MIN_PIXELS=0 to exercise the packet path on tiny frames
@@ -1047,11 +1076,30 @@ def _packet_any_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> jnp.ndarray:
     o_p = o.map(lambda c: prep(c, 0.0))
     d_p = d.map(lambda c: prep(c, 1.0))
     t_p = prep(jnp.asarray(t_max, jnp.float32), -1.0)
+
+    def unprep(a):
+        a = a.reshape((nlead, ph // th, pw // tw, th * tw))
+        a = pk.packets_to_tile(a.reshape((nlead, -1, th * tw)), ph, pw,
+                               th, tw)
+        return a[:, :h, :w].reshape(shape)
+
+    if _PKA_HANDOFF_SHRINK:
+        # packet HEAD + per-ray tail: rays of unfinished packets that are
+        # not yet proven occluded re-run through the per-ray any walk
+        hit_p, unfin = pk.packet_any_partial(gs, o_p, d_p, t_p,
+                                             shrink=_PKA_HANDOFF_SHRINK)
+        pending = unprep(jnp.logical_not(hit_p) & unfin[:, None]
+                         & (t_p > 0.0))
+        hit = unprep(hit_p)
+        t_ray = jnp.where(pending,
+                          jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                           shape), -1.0)
+        hit_ray = _any_state(gs, o.broadcast_to(shape).map(jnp.ravel),
+                             d.broadcast_to(shape).map(jnp.ravel),
+                             t_ray.reshape(-1))
+        return hit | hit_ray.reshape(shape)
     hit = pk.packet_any(gs, o_p, d_p, t_p)
-    hit = hit.reshape((nlead, ph // th, pw // tw, th * tw))
-    hit = pk.packets_to_tile(hit.reshape((nlead, -1, th * tw)), ph, pw,
-                             th, tw)
-    return hit[:, :h, :w].reshape(shape)
+    return unprep(hit)
 
 
 def intersect_any(geom, o: Vec3, d: Vec3, t_max,

@@ -172,7 +172,7 @@ def _main():
         part_a(R)
     if "f" in which:
         part_f(R)
-    if set(which) & set("bcdeghi"):
+    if set(which) & set("bcdeghijklm"):
         sc = build_bench_scene(1920, 1080, target_tris=tris)
         sc._ensure_device_state()
         if "b" in which:
@@ -191,6 +191,12 @@ def _main():
             part_i(sc)
         if "j" in which:
             part_j(sc)
+        if "k" in which:
+            part_k(sc)
+        if "l" in which:
+            part_l(sc)
+        if "m" in which:
+            part_m(sc)
 
 
 def part_d(sc, R=2_200_000):
@@ -583,8 +589,118 @@ def part_j(sc):
           f"{est:.1f} ms")
 
 
-if __name__ == "__main__":
-    _main()
+def part_m(sc):
+    """Any-hit handoff sweep: pure packet vs packet-head + per-ray tail on
+    1080p primary-hit shadow rays."""
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    h, w = 1080, 1920
+    o, d = _camera_rays(sc, h * w)
+    # shadow rays from primary hits toward the first spot light
+    hitp = tv.intersect_closest(g, o, d)
+    lp = Vec3(jnp.float32(0.0), jnp.float32(6.5), jnp.float32(6.0))
+    to_l = Vec3(lp.x - hitp.point.x, lp.y - hitp.point.y, lp.z - hitp.point.z)
+    dist = jnp.sqrt(jnp.maximum(to_l.dot(to_l), 1e-12))
+    d_s = Vec3(to_l.x / dist, to_l.y / dist, to_l.z / dist)
+    o_s = Vec3(hitp.point.x + hitp.normal.x * 1e-3,
+               hitp.point.y + hitp.normal.y * 1e-3,
+               hitp.point.z + hitp.normal.z * 1e-3)
+    tf = jnp.where(hitp.hit, dist * 0.999, -1.0)
+    o2 = o_s.map(lambda c: c.reshape(h, w))
+    d2 = d_s.map(lambda c: c.reshape(h, w))
+    tf2 = tf.reshape(h, w)
+    print(f"-- M: any-hit handoff sweep, {h}x{w} shadow rays "
+          f"({float(jnp.mean(hitp.hit)):.2f} live frac) --")
+    f_ray = jax.jit(lambda oo, dd, tt: tv.intersect_any(g, oo, dd, tt))
+    ms_ray = timeit(f_ray, o_s, d_s, tf, reps=5) * 1e3
+    print(f"  per-ray any:          {ms_ray:8.1f} ms")
+    ref = np.asarray(f_ray(o_s, d_s, tf)).reshape(h, w)
+    for shrink in (0, 8, 16, 32):
+        tv._PKA_HANDOFF_SHRINK = shrink
+        f_hy = jax.jit(lambda oo, dd, tt, s=shrink: tv.intersect_any(
+            g, oo, dd, tt, coherent=True))
+        ms_hy = timeit(f_hy, o2, d2, tf2, reps=5) * 1e3
+        got = np.asarray(f_hy(o2, d2, tf2))
+        mism = (got != ref).mean()
+        label = "pure packet " if shrink == 0 else f"handoff {shrink:3d}"
+        print(f"  {label}:          {ms_hy:8.1f} ms  ({ms_ray/ms_hy:4.1f}x) "
+              f"mismatch {mism:.2e}")
+
+
+def part_l(sc):
+    """In-situ frame decomposition: time the REAL _trace_only program at a
+    ladder of (spp, depth, n_lights) configs; successive diffs attribute
+    frame time to camera walk / NEE / scattered bounces / spp scaling."""
+    import jax.numpy as jnp
+    from ptrt_tpu.scene.pt_scene import _trace_only
+
+    rh, rw = sc.render_size
+    sc._ensure_device_state()
+    print(f"-- L: in-situ frame ladder, {rw}x{rh} --")
+    prev = None
+    for label, spp, depth, nl in (
+            ("d1 no-NEE (camera+shade)", 1, 1, 0),
+            ("d1 +NEE (camera shadow)", 1, 1, len(sc.lights)),
+            ("d2 (+1 scattered bounce)", 1, 2, len(sc.lights)),
+            ("d4 (full depth)", 1, 4, len(sc.lights)),
+            ("d4 spp4 (bench config)", 4, 4, len(sc.lights))):
+        fn = _trace_only(rw, rh, spp, depth, nl, sc._use_brute(),
+                         sc.env_map is not None)
+        args = (sc._geom, sc._mat_table, sc._light_table, sc._sky(),
+                sc.camera, sc._rng_state, jnp.int32(1), sc._blue_noise)
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        comp = time.time() - t0
+        ms = timeit(lambda: fn(*args), reps=3) * 1e3
+        d = "" if prev is None else f"  (+{ms - prev:7.1f})"
+        rays = float(out[1].rays_traced)
+        print(f"  {label:28s} {ms:8.1f} ms{d}  compile {comp:5.1f}s "
+              f"rays {rays/1e6:5.1f}M")
+        prev = ms
+
+
+def part_k(sc):
+    """Hybrid closest (packet head + per-ray tail handoff) vs pure packet
+    vs per-ray, 1080p camera rays, with an exactness check."""
+    from ptrt_tpu.render import packet as pk
+
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    h, w = 1080, 1920
+    o, d = _camera_rays(sc, h * w)
+    o2 = o.map(lambda c: c.reshape(h, w))
+    d2 = d.map(lambda c: c.reshape(h, w))
+    npkt = (h // 8) * (w // 8)
+
+    def to_pk(c):
+        return pk.tile_to_packets(c.reshape(h, w), h, w)
+
+    o_p, d_p = o.map(to_pk), d.map(to_pk)
+    t0_p = jnp.full((npkt, 64), 1e30)
+
+    print(f"-- K: hybrid closest handoff, {h}x{w} camera rays --")
+    f_ray = jax.jit(lambda oo, dd: tv.intersect_closest(g, oo, dd).t)
+    ms_ray = timeit(f_ray, o, d, reps=5) * 1e3
+    print(f"  per-ray closest:        {ms_ray:8.1f} ms")
+    f_pk = jax.jit(lambda oo, dd: pk.packet_closest(g, oo, dd, t0_p)["t"])
+    ms_pk = timeit(f_pk, o_p, d_p, reps=5) * 1e3
+    print(f"  pure-packet closest:    {ms_pk:8.1f} ms")
+    for shrink in (4, 8, 16, 32):
+        tv._PKC_HANDOFF_SHRINK = shrink
+        f_hy = jax.jit(lambda oo, dd, s=shrink:
+                       tv.intersect_closest(g, oo, dd, coherent=True).t)
+        ms_hy = timeit(f_hy, o2, d2, reps=5) * 1e3
+        print(f"  hybrid (shrink {shrink:3d}):    {ms_hy:8.1f} ms "
+              f"({h*w/ms_hy/1e3:6.1f} Mrays/s, {ms_ray/ms_hy:4.1f}x per-ray)")
+        if shrink == 8:
+            t_hy = np.asarray(f_hy(o2, d2))
+            t_ray = np.asarray(f_ray(o, d)).reshape(h, w)
+            a = np.where(t_ray > 1e29, 0, t_ray)
+            b = np.where(t_hy > 1e29, 0, t_hy)
+            bad = np.abs(a - b) > 1e-3 * np.maximum(a, 1.0)
+            print(f"    t mismatch frac: {bad.mean():.2e}")
+
 
 
 def part_f(R=2_200_000):
@@ -638,3 +754,7 @@ def part_f(R=2_200_000):
                       idx, tbl) * 1e3 / K
         print(f"  N={rows:5d}: take {ms_t:7.2f} ms  onehot {ms_o:7.2f} ms "
               f" ({ms_t/ms_o:4.1f}x)")
+
+
+if __name__ == "__main__":
+    _main()
