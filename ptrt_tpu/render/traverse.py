@@ -1044,8 +1044,11 @@ PACKET_ANY = _env_int("PTRT_PACKET_ANY", 1, 0, 1)
 _PK_TH = 8
 _PK_TW = 8
 # any-hit packet->per-ray handoff (see _PKC_HANDOFF_SHRINK): 0 disables
-# (pure packet walk with packet-granularity compaction)
-_PKA_HANDOFF_SHRINK = _env_int("PTRT_PKA_HANDOFF_SHRINK", 0, 0, 256)
+# (pure packet walk with packet-granularity compaction).  TPU sweep
+# (prof_r3 part M, 1080p primary-hit shadow rays, 1M tris): per-ray
+# 222.9 ms / pure packet 2004.6 (surface-origin packets have huge
+# conservative tails) / handoff 16: 129.6 ms — 1.7x per-ray, exact.
+_PKA_HANDOFF_SHRINK = _env_int("PTRT_PKA_HANDOFF_SHRINK", 16, 0, 256)
 # below this wavefront size the per-ray walk is used even with
 # coherent=True (packet bookkeeping only pays off at scale); tests set
 # PTRT_PK_MIN_PIXELS=0 to exercise the packet path on tiny frames

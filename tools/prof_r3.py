@@ -172,7 +172,9 @@ def _main():
         part_a(R)
     if "f" in which:
         part_f(R)
-    if set(which) & set("bcdeghijklm"):
+    if "o" in which:
+        part_o(R)
+    if set(which) & set("bcdeghijklmn"):
         sc = build_bench_scene(1920, 1080, target_tris=tris)
         sc._ensure_device_state()
         if "b" in which:
@@ -197,6 +199,8 @@ def _main():
             part_l(sc)
         if "m" in which:
             part_m(sc)
+        if "n" in which:
+            part_n(sc)
 
 
 def part_d(sc, R=2_200_000):
@@ -587,6 +591,194 @@ def part_j(sc):
     est = widths.sum() / npkt * t_full * 1e3
     print(f"  naive cost model (iters x full-body, perfectly compacted): "
           f"{est:.1f} ms")
+
+
+def part_o(R=2_200_000, D=16):
+    """Lane-padding microbench: the walk state carries (R, D) stacks and
+    (R, 8) MT/slab intermediates — minor dims 8/16 use 8/16 of the VPU's
+    128 lanes if Mosaic keeps the natural layout.  Compare against
+    transposed (D, R)/(8, R) variants where the minor dim is the wavefront."""
+    rng = np.random.default_rng(0)
+    K = 8
+    # build big device arrays FROM small host seeds (the axon tunnel moves
+    # host->device bytes at ~MB/s; a (R, D) host upload alone takes minutes)
+    seed = jnp.asarray(rng.integers(0, 1 << 26, 4096).astype(np.int32))
+    mk = jax.jit(lambda n: jnp.tile(seed, -(-n // 4096))[:n],
+                 static_argnums=0)
+    sp0 = mk(R) % (D - 1)
+    ent0 = mk(R)
+    iota_d = jnp.arange(D, dtype=jnp.int32)
+    st_rm = jax.jit(lambda: (mk(R)[:, None] + iota_d[None, :]))()
+    st_cm = jax.jit(lambda: (mk(R)[None, :] + iota_d[:, None]))()
+
+    def push_pop_rm(st, sp, ent):
+        def body(k, carry):
+            st, sp, ent = carry
+            sel = iota_d[None, :] == sp[:, None]
+            st = jnp.where(sel, ent[:, None], st)          # push write
+            top = jnp.sum(jnp.where(sel, st, 0), axis=1)   # pop read
+            ent = (ent ^ top) + k
+            sp = (sp + ent) % (D - 1)
+            return st, sp, ent
+        return jax.lax.fori_loop(0, K, body, (st, sp, ent))[2]
+
+    def push_pop_cm(st, sp, ent):
+        def body(k, carry):
+            st, sp, ent = carry
+            sel = iota_d[:, None] == sp[None, :]
+            st = jnp.where(sel, ent[None, :], st)
+            top = jnp.sum(jnp.where(sel, st, 0), axis=0)
+            ent = (ent ^ top) + k
+            sp = (sp + ent) % (D - 1)
+            return st, sp, ent
+        return jax.lax.fori_loop(0, K, body, (st, sp, ent))[2]
+
+    print(f"-- O: lane-padding microbench, R={R}, D={D}, chain K={K} --")
+    ms = timeit(jax.jit(push_pop_rm), st_rm, sp0, ent0) * 1e3 / K
+    print(f"  stack push+pop (R,D) row-major: {ms:7.2f} ms/iter")
+    ms = timeit(jax.jit(push_pop_cm), st_cm, sp0, ent0) * 1e3 / K
+    print(f"  stack push+pop (D,R) col-major: {ms:7.2f} ms/iter")
+
+    # dense MT, no gather: per-lane tri rows synthesized on device
+    fseed = jnp.asarray(rng.normal(size=4096).astype(np.float32))
+    mkf = jax.jit(lambda n: jnp.tile(fseed, -(-n // 4096))[:n],
+                  static_argnums=0)
+    o = Vec3(mkf(R), mkf(R) * 0.7 + 1.0, mkf(R) * 1.3 - 0.5)
+    d = normalize(Vec3(mkf(R) + 0.1, mkf(R) * 0.5 - 0.2, mkf(R) * 0.9))
+    tb = jnp.full((R,), 25.0)
+    k8 = jnp.arange(8, dtype=jnp.float32)
+    mk8 = jax.jit(lambda s: mkf(R)[:, None] * (1.0 + 0.1 * k8[None, :]) + s,
+                  static_argnums=0)
+    rows_rm = [Vec3(mk8(0.1 * i), mk8(0.2 * i + 0.05), mk8(0.3 * i - 0.02))
+               for i in range(3)]
+    rows_cm = [v.map(lambda c: c.T) for v in rows_rm]
+
+    def mt_rm(o, d, v0, e1, e2):
+        def body(k, acc):
+            ok, t, _, _ = tv._mt_test(v0, e1, e2,
+                                      o.map(lambda c: c[:, None]),
+                                      d.map(lambda c: c[:, None]),
+                                      tv.T_MIN, tb[:, None])
+            tm = jnp.where(ok, t, jnp.inf)
+            return acc + jnp.min(tm, axis=-1) + k
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((R,)))
+
+    def mt_cm(o, d, v0, e1, e2):
+        def body(k, acc):
+            ok, t, _, _ = tv._mt_test(v0, e1, e2,
+                                      o.map(lambda c: c[None, :]),
+                                      d.map(lambda c: c[None, :]),
+                                      tv.T_MIN, tb[None, :])
+            tm = jnp.where(ok, t, jnp.inf)
+            return acc + jnp.min(tm, axis=0) + k
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((R,)))
+
+    ms = timeit(jax.jit(mt_rm), o, d, *rows_rm) * 1e3 / K
+    print(f"  dense MT x8 (R,8) row-major:    {ms:7.2f} ms/iter")
+    ms = timeit(jax.jit(mt_cm), o, d, *rows_cm) * 1e3 / K
+    print(f"  dense MT x8 (8,R) col-major:    {ms:7.2f} ms/iter")
+
+
+def part_n(sc):
+    """Rebinned packet traversal for SCATTERED rays: sort diffuse-bounce
+    rays by (direction octant, origin Morton cell), form P=16 packets in
+    sorted order, run the hybrid packet walk, scatter back.  If sorted
+    bins recover enough coherence, the dominant bounce-1..3 per-ray walks
+    (81% of the frame, part L) inherit the packet win."""
+    from ptrt_tpu.render import packet as pk
+
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    h, w = 1080, 1920
+    R = h * w
+    o, d = _camera_rays(sc, R)
+    hitp = tv.intersect_closest(g, o, d)
+    rng = np.random.default_rng(2)
+    rnd = normalize(Vec3(*[jnp.asarray(rng.normal(size=R).astype(np.float32))
+                           for _ in range(3)]))
+    n = hitp.normal
+    # Lambertian-ish bounce: normal + 0.9*random unit, renormalized
+    dd = normalize(Vec3(n.x + 0.9 * rnd.x, n.y + 0.9 * rnd.y,
+                        n.z + 0.9 * rnd.z))
+    oo = Vec3(hitp.point.x + n.x * 1e-3, hitp.point.y + n.y * 1e-3,
+              hitp.point.z + n.z * 1e-3)
+    t0 = jnp.where(hitp.hit, 1e30, -1.0)
+    live_frac = float(jnp.mean(hitp.hit))
+    print(f"-- N: rebinned scattered-ray packets, {R} diffuse bounce rays "
+          f"({live_frac:.2f} live) --")
+
+    f_ray = jax.jit(lambda O, D, T: tv.intersect_closest(g, O, D, T).t)
+    ms_ray = timeit(f_ray, oo, dd, t0, reps=5) * 1e3
+    print(f"  per-ray closest:      {ms_ray:8.1f} ms")
+    t_ref = np.asarray(f_ray(oo, dd, t0))
+
+    def morton7(x, lo, inv):
+        q = jnp.clip(((x - lo) * inv * 127.0).astype(jnp.int32), 0, 127)
+        out = jnp.zeros_like(q)
+        for b in range(7):
+            out = out | (((q >> b) & 1) << (3 * b))
+        return out
+
+    def make_key(O, D, T):
+        oct_ = tv._ray_octant(D)
+        lo = Vec3(*[jnp.min(jnp.where(T > 0, c, jnp.inf))
+                    for c in (O.x, O.y, O.z)])
+        hi = Vec3(*[jnp.max(jnp.where(T > 0, c, -jnp.inf))
+                    for c in (O.x, O.y, O.z)])
+        inv = [1.0 / jnp.maximum(h_ - l_, 1e-6)
+               for l_, h_ in ((lo.x, hi.x), (lo.y, hi.y), (lo.z, hi.z))]
+        m = (morton7(O.x, lo.x, inv[0])
+             | (morton7(O.y, lo.y, inv[1]) << 1)
+             | (morton7(O.z, lo.z, inv[2]) << 2))
+        # dead rays sort to the back (whole packets go dead -> skipped)
+        key = (oct_ << 21) | m
+        return jnp.where(T > 0, key, jnp.int32(0x7FFFFFF0))
+
+    P = 16
+
+    def rebinned(O, D, T, shrink):
+        key = make_key(O, D, T)
+        _, perm = jax.lax.sort_key_val(key, jnp.arange(R, dtype=jnp.int32))
+        rows = jnp.stack([O.x, O.y, O.z, D.x, D.y, D.z, T,
+                          jnp.zeros((R,), jnp.float32)], axis=1)
+        srt = jnp.take(rows, perm, axis=0)  # ONE row gather
+        Os = Vec3(srt[:, 0].reshape(-1, P), srt[:, 1].reshape(-1, P),
+                  srt[:, 2].reshape(-1, P))
+        Ds = Vec3(srt[:, 3].reshape(-1, P), srt[:, 4].reshape(-1, P),
+                  srt[:, 5].reshape(-1, P))
+        Ts = srt[:, 6].reshape(-1, P)
+        s, unfin = pk.packet_closest_partial(g, Os, Ds, Ts, shrink=shrink)
+        t_flat = s["t"].reshape(-1)
+        # per-ray tail on rays of unfinished packets, t tightened
+        t_restart = jnp.where(
+            jnp.broadcast_to(unfin[:, None], Ts.shape).reshape(-1)
+            & (Ts.reshape(-1) > 0), t_flat, -1.0)
+        Of = Os.map(lambda c: c.reshape(-1))
+        Df = Ds.map(lambda c: c.reshape(-1))
+        s_ray = tv._walk_closest_raw(g, Of, Df, t_restart)
+        closer = s_ray["best"] >= 0
+        t_m = jnp.where(closer, s_ray["t"], t_flat)
+        return jnp.zeros((R,), jnp.float32).at[perm].set(t_m)
+
+    for shrink in (8, 16, 32):
+        f_rb = jax.jit(lambda O, D, T, s=shrink: rebinned(O, D, T, s))
+        ms_rb = timeit(f_rb, oo, dd, t0, reps=5) * 1e3
+        got = np.asarray(f_rb(oo, dd, t0))
+        a = np.where(t_ref > 1e29, 0, t_ref)
+        b = np.where(got > 1e29, 0, got)
+        bad = (np.abs(a - b) > 1e-3 * np.maximum(a, 1.0)).mean()
+        print(f"  rebinned (shrink {shrink:3d}): {ms_rb:8.1f} ms "
+              f"({ms_ray/ms_rb:4.1f}x)  mismatch {bad:.2e}")
+
+    # overhead breakdown: sort+permute alone
+    def just_perm(O, D, T):
+        key = make_key(O, D, T)
+        _, perm = jax.lax.sort_key_val(key, jnp.arange(R, dtype=jnp.int32))
+        rows = jnp.stack([O.x, O.y, O.z, D.x, D.y, D.z, T,
+                          jnp.zeros((R,), jnp.float32)], axis=1)
+        return jnp.take(rows, perm, axis=0)
+    ms_p = timeit(jax.jit(just_perm), oo, dd, t0, reps=5) * 1e3
+    print(f"  (sort + row-permute overhead alone: {ms_p:6.1f} ms)")
 
 
 def part_m(sc):
