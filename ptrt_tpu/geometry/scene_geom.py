@@ -84,11 +84,69 @@ class SceneGeometry:
         return int(self.tri_mesh_id.shape[0])
 
 
+# Build-time pre-split of oversized triangles (SBVH-lite): any triangle
+# whose longest edge exceeds PRESPLIT_FRAC x the scene's AABB diagonal is
+# bisected at that edge's midpoint, recursively.  Giant triangles (ground
+# planes, walls — scene.cuh's showcase floor) otherwise hang huge leaf
+# AABBs across the whole tree: nearly every lock-step lane visits them
+# every walk, inflating the worst-lane iteration count the walk pays for.
+# The split is EXACT (coplanar children cover the same surface; the
+# watertight barycentric epsilon in traverse._mt_test covers the collinear
+# sub-edge seams exactly like quad diagonals).  Only the packed device
+# tables see the split — Mesh objects, mesh ids, materials and reported
+# triangle counts are untouched.  Wireframe debug renders show the extra
+# edges (hit.u/v are the only barycentric consumers).  0 disables.
+import os as _os
+
+PRESPLIT_FRAC = float(_os.environ.get("PTRT_PRESPLIT_FRAC", "0.125"))
+
+
+def _presplit_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                   mid: np.ndarray, frac: float):
+    """Longest-edge bisection until every triangle's longest edge is below
+    frac * scene_diagonal.  Returns (v0, v1, v2, mid)."""
+    if frac <= 0.0 or v0.shape[0] == 0:
+        return v0, v1, v2, mid
+    allv = np.concatenate([v0, v1, v2])
+    diag = float(np.linalg.norm(allv.max(0) - allv.min(0)))
+    if not np.isfinite(diag) or diag <= 0.0:
+        return v0, v1, v2, mid
+    thr2 = (frac * diag) ** 2
+    # each round halves the longest edge of every oversized triangle, so
+    # the loop terminates in O(log(max_edge / thr)) rounds
+    for _ in range(32):
+        e = np.stack([  # squared edge lengths (ab, bc, ca)
+            ((v1 - v0) ** 2).sum(1),
+            ((v2 - v1) ** 2).sum(1),
+            ((v0 - v2) ** 2).sum(1)], axis=1)
+        k = e.argmax(1)
+        big = e[np.arange(e.shape[0]), k] > thr2
+        if not big.any():
+            break
+        bs = np.where(big)[0]
+        a, b, c, m_, kb = v0[bs], v1[bs], v2[bs], mid[bs], k[bs]
+        # rotate so the longest edge is (a, b) — winding preserved
+        a2 = np.where((kb == 1)[:, None], b, np.where((kb == 2)[:, None], c, a))
+        b2 = np.where((kb == 1)[:, None], c, np.where((kb == 2)[:, None], a, b))
+        c2 = np.where((kb == 1)[:, None], a, np.where((kb == 2)[:, None], b, c))
+        mp = 0.5 * (a2 + b2)
+        keep = ~big
+        v0 = np.concatenate([v0[keep], a2, mp])
+        v1 = np.concatenate([v1[keep], mp, b2])
+        v2 = np.concatenate([v2[keep], c2, c2])
+        mid = np.concatenate([mid[keep], m_, m_])
+    return (np.ascontiguousarray(v0, np.float32),
+            np.ascontiguousarray(v1, np.float32),
+            np.ascontiguousarray(v2, np.float32),
+            np.ascontiguousarray(mid, np.int32))
+
+
 def assemble_geometry(meshes: list[Mesh],
                       material_transmission: list[float] | None = None,
                       leaf_size: int = LEAF_SIZE,
                       mesh_ids: list[int] | None = None,
-                      world: bool = True) -> SceneGeometry:
+                      world: bool = True,
+                      presplit: bool | None = None) -> SceneGeometry:
     """Build packed geometry + BVH from host meshes.
 
     ``material_transmission[i]`` is the transmission of mesh ``i``'s
@@ -100,7 +158,14 @@ def assemble_geometry(meshes: list[Mesh],
     triangle lanes (defaults to enumeration order) — the two-level assembly
     uses it to keep GLOBAL mesh indices inside per-instance BLASes.
     ``world=False`` keeps vertices in mesh-local space (instance BLAS).
+
+    ``presplit`` (default: follow ``world``) bisects oversized triangles
+    before the BVH build (see ``_presplit_tris``).  Instance BLASes keep it
+    OFF: their refit plans (geometry/refit.py) map leaf slots back to the
+    mesh's ORIGINAL triangle order, which a split would break.
     """
+    if presplit is None:
+        presplit = world
     v0s, v1s, v2s, mids = [], [], [], []
     for i, m in enumerate(meshes):
         a, b, c = m.triangle_arrays(world=world)
@@ -117,6 +182,10 @@ def assemble_geometry(meshes: list[Mesh],
     else:
         v0 = v1 = v2 = np.zeros((0, 3), np.float32)
         mid = np.zeros((0,), np.int32)
+
+    n_orig = v0.shape[0]
+    if presplit:
+        v0, v1, v2, mid = _presplit_tris(v0, v1, v2, mid, PRESPLIT_FRAC)
 
     bvh = build_bvh8(v0, v1, v2, leaf_size)
 
@@ -178,8 +247,11 @@ def assemble_geometry(meshes: list[Mesh],
         stack_depth=int(bvh.max_depth) + 2,
     )
     # build-time leaf order, host-side only (device refit plans need the
-    # original-tri -> leaf-slot mapping; geometry/refit.py)
-    object.__setattr__(out, "_host_order", np.asarray(bvh.order))
+    # original-tri -> leaf-slot mapping; geometry/refit.py).  A presplit
+    # geometry has no such mapping — leave it unset so build_refit_plan
+    # fails loudly instead of refitting garbage.
+    if v0.shape[0] == n_orig:
+        object.__setattr__(out, "_host_order", np.asarray(bvh.order))
     return out
 
 

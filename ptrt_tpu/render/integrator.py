@@ -101,10 +101,14 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         # env-NEE rays (directions spread across the HDRI) stay per-ray:
         # a packet of mixed-sign directions has unbounded inv-direction
         # intervals and degrades toward a full-tree sweep.
+        # non-coherent bounces also get scattered=True: their wavefronts
+        # are mostly-dead and fast-collapsing, so the walk ladders its
+        # compaction (traverse.SCATTER_SHRINK) instead of the camera
+        # profile's wide first pass (tools/prof_r3.py part P)
         closest = lambda o, d, t, coh=False: traverse.intersect_closest(
-            geom, o, d, t, coherent=coh and pixel_grid)
+            geom, o, d, t, coherent=coh and pixel_grid, scattered=not coh)
         make_any = lambda coh: (lambda o, d, t: traverse.intersect_any(
-            geom, o, d, t, coherent=coh and pixel_grid))
+            geom, o, d, t, coherent=coh and pixel_grid, scattered=not coh))
     any_hit = make_any(False)
 
     shape = jnp.shape(ray.direction.x)

@@ -203,6 +203,21 @@ def _lsb_slot(mask: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.population_count(lsb - 1)
 
 
+def _fetch_leaf_cm(geom: SceneGeometry, leaf_block):
+    """Column-major variant of ``_fetch_leaf``: one gathered row block,
+    transposed once, fields as (L, R) views.  Same packed values."""
+    blk = jnp.take(geom.tri_rows, jnp.maximum(leaf_block, 0), axis=0).T
+    L = LEAF_SIZE
+    c = lambda k: blk[k * L:(k + 1) * L]
+    v0 = Vec3(c(0), c(1), c(2))
+    e1 = Vec3(c(3), c(4), c(5))
+    e2 = Vec3(c(6), c(7), c(8))
+    packed = _i32(c(9))
+    mesh_id = packed >> 1
+    opaque = (packed & 1) == 1
+    return v0, e1, e2, mesh_id, opaque
+
+
 def _fetch_leaf(geom: SceneGeometry, leaf_block):
     """One gathered tri-block row -> SoA (R, L) field views (field-major
     row layout, see scene_geom.assemble_geometry).  Fields are cut with
@@ -235,6 +250,14 @@ def _fetch_leaf(geom: SceneGeometry, leaf_block):
 # MIN_COMPACT_LANES skip the machinery.
 from ptrt_tpu.geometry.bvh import _env_int
 
+# Leaf MT layout experiment: 0 = row-major (R, L) block fields (minor dim
+# L=8 -> Mosaic pads each 8-wide vector op to the 128-lane tile, wasting
+# 15/16 of the VPU); 1 = transpose the gathered (R, 10L) row once and run
+# the MT block in (L, R) orientation (L rides the 8 sublanes exactly, R
+# rides the lanes -> full-width VPU).  tools/prof_r3.py part O measures
+# the microbench; flip the default once confirmed in-situ on TPU.
+MT_CM = _env_int("PTRT_MT_CM", 0, 0, 1)
+
 # 0: pass 1 exits (or never runs) the moment the active count fits the tail
 # buffer — bounce-2+ and NEE walks start mostly-dead, and forcing even two
 # full-width iterations on them wastes ~44 ms per call at 1080p
@@ -253,6 +276,20 @@ ANY_COMPACT_STAGES = _env_int("PTRT_ANY_STAGES", 1, 1, 8)
 BIG_COMPACT_SHRINK = _env_int("PTRT_BIG_SHRINK", 12, 2, 256)
 BIG_COMPACT_LANES = 1_000_000
 MIN_COMPACT_LANES = 16384
+# SCATTERED walks (bounce>=1 closest, bounce/env NEE any): lock-step
+# activity collapses within a few iterations — measured on the 1M-tri
+# bench scene (tools/prof_r3.py part P, frame-strided bounce-1 rays,
+# 0.61 live): act/R averages 0.12 over the first 5 iterations and
+# sum(active)/R = 0.96, i.e. ~1.6 iterations of useful work per live
+# lane, while the camera-tuned profile grinds ~6 near-full-width
+# iterations before its first compaction.  These walks ladder down
+# aggressively instead: smaller shrink per stage, more stages — each
+# stage exits the moment the active set fits the next buffer
+# (PASS_MIN_ITERS=0), so wide stages cost ~1 iteration each.
+SCATTER_SHRINK = _env_int("PTRT_SCATTER_SHRINK", 4, 2, 256)
+SCATTER_STAGES = _env_int("PTRT_SCATTER_STAGES", 4, 1, 12)
+ANY_SCATTER_SHRINK = _env_int("PTRT_ANY_SCATTER_SHRINK", 4, 2, 256)
+ANY_SCATTER_STAGES = _env_int("PTRT_ANY_SCATTER_STAGES", 2, 1, 12)
 
 
 def _pop_cur(st, iota_d):
@@ -512,7 +549,7 @@ def _slab1(bb_min, bb_max, o: Vec3, inv_d: Vec3, t_max):
 
 
 def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
-                      roots=None) -> dict:
+                      roots=None, scattered: bool = False) -> dict:
     """Run the closest-hit walk over flat lanes; lanes with t0 <= 0 are
     dead.  Returns the raw best state {t, best} (``best`` packs the winning
     (tri block, slot); -1 = none).
@@ -520,7 +557,11 @@ def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
     With ``roots`` (per-lane int32 node ids), each lane starts at its own
     subtree root instead of row 0 — the batched-instance walk uses this to
     run every (ray, instance) item through ONE walk.  Without it, the root
-    visit is performed densely (``_seed_from_root``)."""
+    visit is performed densely (``_seed_from_root``).
+
+    ``scattered`` selects the ladder compaction profile (SCATTER_SHRINK /
+    SCATTER_STAGES) tuned for bounce wavefronts whose active set collapses
+    within a few iterations."""
     total = jnp.size(t0)
     depth = geom.stack_depth
     iota_d = jnp.arange(depth, dtype=jnp.int32)
@@ -532,8 +573,12 @@ def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
     else:
         state["base_i"] = roots
 
-    shrink = (BIG_COMPACT_SHRINK if total >= BIG_COMPACT_LANES
-              else COMPACT_SHRINK)
+    if scattered:
+        shrink, stages = SCATTER_SHRINK, SCATTER_STAGES
+    else:
+        shrink = (BIG_COMPACT_SHRINK if total >= BIG_COMPACT_LANES
+                  else COMPACT_SHRINK)
+        stages = COMPACT_STAGES
 
     def loop_fac(st, o_s, d_s, to_completion):
         b, bn = _make_closest_body(geom, o_s, d_s, iota_d)
@@ -545,15 +590,17 @@ def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
     else:
         s = _run_walk(body, state, False, shrink=shrink,
                       body_node=body_node)
-        s = _compact_finish(loop_fac, s, o, d, stages=COMPACT_STAGES,
+        s = _compact_finish(loop_fac, s, o, d, stages=stages,
                             result_keys=("t", "best"), shrink=shrink)
     return {"t": s["t"], "best": s["best"]}
 
 
-def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
+def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
+                   scattered: bool = False) -> dict:
     """Walk + one-time attribute reconstruction (t/u/v/nrm/mesh), with
     ``nrm`` in the geometry's own (possibly instance-local) space."""
-    return _reconstruct_hit(geom, o, d, _walk_closest_raw(geom, o, d, t0))
+    return _reconstruct_hit(
+        geom, o, d, _walk_closest_raw(geom, o, d, t0, scattered=scattered))
 
 
 def _reconstruct_hit(geom: SceneGeometry, o: Vec3, d: Vec3, s: dict) -> dict:
@@ -852,7 +899,9 @@ def _hybrid_closest_state(gs, o: Vec3, d: Vec3, t0, raw_pk: dict) -> dict:
     (others enter dead), merged with the packet phase's results."""
     t_restart = jnp.where(raw_pk["unfinished"] & (t0 > 0.0),
                           raw_pk["t"], -1.0)
-    s_ray = _walk_closest_raw(gs, o, d, t_restart)
+    # the tail front is mostly dead by construction (unfinished packets fit
+    # a 1/16 buffer) — the ladder profile skips the wide head iterations
+    s_ray = _walk_closest_raw(gs, o, d, t_restart, scattered=True)
     closer = s_ray["best"] >= 0
     return _reconstruct_hit(gs, o, d, {
         "t": jnp.where(closer, s_ray["t"], raw_pk["t"]),
@@ -861,7 +910,8 @@ def _hybrid_closest_state(gs, o: Vec3, d: Vec3, t0, raw_pk: dict) -> dict:
 
 
 def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX,
-                      coherent: bool = False) -> Hit:
+                      coherent: bool = False,
+                      scattered: bool = False) -> Hit:
     """Closest-hit over the wavefront (``traceRay``,
     ``intersection.cuh:526-605``).  Lanes with t_max <= 0 are dead and exit
     without traversing.  Accepts a flat ``SceneGeometry`` or a two-level
@@ -870,7 +920,10 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX,
 
     ``coherent=True`` marks a pixel-grid wavefront (trailing dims H, W):
     the static walk runs per 4x4-tile packet (``render/packet.py``) —
-    exact, measured 2.0x on 1080p camera rays."""
+    exact, measured 2.0x on 1080p camera rays.
+
+    ``scattered=True`` marks a bounce wavefront (mostly-dead, fast-
+    collapsing): the walk uses the ladder compaction profile."""
     from ptrt_tpu.geometry.scene_geom import WorldGeometry
 
     shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
@@ -890,7 +943,7 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX,
 
     if isinstance(geom, WorldGeometry):
         s = (_hybrid_closest_state(gs, o, d, t0, raw_pk) if use_pk
-             else _closest_state(geom.static, o, d, t0))
+             else _closest_state(geom.static, o, d, t0, scattered=scattered))
         if geom.iset is not None:
             s = _instances_closest_batched(geom.iset, o, d, s)
         else:
@@ -900,7 +953,7 @@ def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX,
                                             _closest_state)
     else:
         s = (_hybrid_closest_state(gs, o, d, t0, raw_pk) if use_pk
-             else _closest_state(geom, o, d, t0))
+             else _closest_state(geom, o, d, t0, scattered=scattered))
     return _finalize_closest(o, d, s, shape)
 
 
@@ -926,13 +979,25 @@ def _make_closest_body(geom, o, d, iota_d):
         blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
                        geom.num_tri_blocks - 1)
         # one tri-row gather; MT vectorized across the whole block
-        v0, e1, e2, mesh_id, _ = _fetch_leaf(geom, blk)
-        ok, t, _, _ = _mt_test(v0, e1, e2, oe, de, T_MIN, best_t[:, None])
-        ok = ok & has_leaf[:, None] & (mesh_id >= 0)
-        tm = jnp.where(ok, t, jnp.inf)
-        tbest = jnp.min(tm, axis=-1)
+        if MT_CM:
+            v0, e1, e2, mesh_id, _ = _fetch_leaf_cm(geom, blk)
+            ok, t, _, _ = _mt_test(v0, e1, e2,
+                                   o.map(lambda c: c[None, :]),
+                                   d.map(lambda c: c[None, :]),
+                                   T_MIN, best_t[None, :])
+            ok = ok & has_leaf[None, :] & (mesh_id >= 0)
+            tm = jnp.where(ok, t, jnp.inf)
+            tbest = jnp.min(tm, axis=0)
+            slot = jnp.argmin(tm, axis=0).astype(jnp.int32)
+        else:
+            v0, e1, e2, mesh_id, _ = _fetch_leaf(geom, blk)
+            ok, t, _, _ = _mt_test(v0, e1, e2, oe, de, T_MIN,
+                                   best_t[:, None])
+            ok = ok & has_leaf[:, None] & (mesh_id >= 0)
+            tm = jnp.where(ok, t, jnp.inf)
+            tbest = jnp.min(tm, axis=-1)
+            slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
         found = tbest < best_t
-        slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
         return dict(
             st,
             mask_l=st["mask_l"] & (st["mask_l"] - 1),
@@ -962,9 +1027,15 @@ def _make_closest_body(geom, o, d, iota_d):
 
 
 def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
-               roots=None) -> jnp.ndarray:
+               roots=None, scattered: bool = False) -> jnp.ndarray:
     """Any-hit walk over flat lanes; lanes with t_f <= 0 are dead.  With
-    ``roots``, lanes start at per-lane subtree roots (batched instances)."""
+    ``roots``, lanes start at per-lane subtree roots (batched instances).
+    ``scattered`` selects the ladder compaction profile (see
+    SCATTER_SHRINK)."""
+    if scattered:
+        a_shrink, a_stages = ANY_SCATTER_SHRINK, ANY_SCATTER_STAGES
+    else:
+        a_shrink, a_stages = ANY_COMPACT_SHRINK, ANY_COMPACT_STAGES
     total = jnp.size(t_f)
     depth = geom.stack_depth
     iota_d = jnp.arange(depth, dtype=jnp.int32)
@@ -986,10 +1057,20 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
             has_leaf = st["mask_l"] != 0
             blk = jnp.clip(st["base_l"] + _lsb_slot(st["mask_l"]), 0,
                            geom.num_tri_blocks - 1)
-            v0, e1, e2, mesh_id, opaque = _fetch_leaf(geom, blk)
-            ok, _, _, _ = _mt_test(v0, e1, e2, oe, de, T_MIN, t_s[:, None])
-            ok = ok & opaque & (mesh_id >= 0)
-            hit = hit | (jnp.any(ok, axis=-1) & has_leaf)
+            if MT_CM:
+                v0, e1, e2, mesh_id, opaque = _fetch_leaf_cm(geom, blk)
+                ok, _, _, _ = _mt_test(v0, e1, e2,
+                                       o_s.map(lambda c: c[None, :]),
+                                       d_s.map(lambda c: c[None, :]),
+                                       T_MIN, t_s[None, :])
+                ok = ok & opaque & (mesh_id >= 0)
+                hit = hit | (jnp.any(ok, axis=0) & has_leaf)
+            else:
+                v0, e1, e2, mesh_id, opaque = _fetch_leaf(geom, blk)
+                ok, _, _, _ = _mt_test(v0, e1, e2, oe, de, T_MIN,
+                                       t_s[:, None])
+                ok = ok & opaque & (mesh_id >= 0)
+                hit = hit | (jnp.any(ok, axis=-1) & has_leaf)
             return dict(st, mask_l=st["mask_l"] & (st["mask_l"] - 1),
                         hit=hit)
 
@@ -1021,7 +1102,7 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
 
     def loop_fac(st, o_s, d_s, t_s, to_completion):
         b, bn = make_body(o_s, d_s, t_s)
-        return _run_walk(b, st, to_completion, shrink=ANY_COMPACT_SHRINK,
+        return _run_walk(b, st, to_completion, shrink=a_shrink,
                          body_node=bn)
 
     body, body_node = make_body(o, d, t_f)
@@ -1029,10 +1110,10 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
         s = _run_walk(body, state, True, body_node=body_node)
     else:
         s = _run_walk(body, state, False,
-                      shrink=ANY_COMPACT_SHRINK, body_node=body_node)
+                      shrink=a_shrink, body_node=body_node)
         s = _compact_finish(loop_fac, s, o, d, extras=(t_f,),
-                            stages=ANY_COMPACT_STAGES, result_keys=("hit",),
-                            shrink=ANY_COMPACT_SHRINK)
+                            stages=a_stages, result_keys=("hit",),
+                            shrink=a_shrink)
     return s["hit"]
 
 
@@ -1099,14 +1180,15 @@ def _packet_any_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> jnp.ndarray:
                                            shape), -1.0)
         hit_ray = _any_state(gs, o.broadcast_to(shape).map(jnp.ravel),
                              d.broadcast_to(shape).map(jnp.ravel),
-                             t_ray.reshape(-1))
+                             t_ray.reshape(-1), scattered=True)
         return hit | hit_ray.reshape(shape)
     hit = pk.packet_any(gs, o_p, d_p, t_p)
     return unprep(hit)
 
 
 def intersect_any(geom, o: Vec3, d: Vec3, t_max,
-                  coherent: bool = False) -> jnp.ndarray:
+                  coherent: bool = False,
+                  scattered: bool = False) -> jnp.ndarray:
     """Shadow any-hit; skips transmissive occluders, matching
     ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``).  Accepts a flat
     ``SceneGeometry`` or a two-level ``WorldGeometry``.
@@ -1114,7 +1196,10 @@ def intersect_any(geom, o: Vec3, d: Vec3, t_max,
     ``coherent=True`` marks the wavefront as a pixel grid (trailing two
     dims = H, W): the static-world walk then runs per 8x8-tile PACKET
     (``render/packet.py``) — exact, and measured 6.8x faster on 1080p
-    shadow rays."""
+    shadow rays.
+
+    ``scattered=True`` marks a bounce/env-NEE wavefront: the walk uses
+    the ladder compaction profile (ANY_SCATTER_SHRINK)."""
     from ptrt_tpu.geometry.scene_geom import WorldGeometry
 
     shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
@@ -1132,7 +1217,8 @@ def intersect_any(geom, o: Vec3, d: Vec3, t_max,
     t_f = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                            shape).reshape(total)
 
-    hit = hit_g.reshape(total) if use_pk else _any_state(gs, o, d, t_f)
+    hit = (hit_g.reshape(total) if use_pk
+           else _any_state(gs, o, d, t_f, scattered=scattered))
     if isinstance(geom, WorldGeometry):
         if geom.iset is not None:
             hit = _instances_any_batched(geom.iset, o, d, t_f, hit)

@@ -123,6 +123,84 @@ class TestBVH:
         at = intersect_any(geom, o, d, tmax)
         assert np.array_equal(np.asarray(ab), np.asarray(at))
 
+    def test_scattered_ladder_exact(self, np_rng):
+        """The scattered-walk ladder profile (SCATTER_SHRINK stages,
+        traverse.py) must agree exactly with the camera profile on a
+        wavefront big enough to engage compaction (> MIN_COMPACT_LANES),
+        with mostly-dead lanes like a real bounce wavefront."""
+        from ptrt_tpu.render import traverse as tv
+
+        meshes = [Mesh.sphere(16), Mesh.cube(), Mesh.plane_xz(-1.0, 4.0)]
+        geom = assemble_geometry(meshes)
+        n = tv.MIN_COMPACT_LANES + 4096
+        o = _vec(np_rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+                 + np.array([0, 0.2, 3], np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)))
+        live = np_rng.uniform(size=n) < 0.4  # bounce-like mostly-dead front
+        t0 = jnp.where(jnp.asarray(live), 1e30, -1.0)
+        hc = intersect_closest(geom, o, d, t0, scattered=False)
+        hs = intersect_closest(geom, o, d, t0, scattered=True)
+        assert np.array_equal(np.asarray(hc.hit), np.asarray(hs.hit))
+        m = np.asarray(hc.hit)
+        assert np.allclose(np.asarray(hc.t)[m], np.asarray(hs.t)[m],
+                           rtol=1e-6)
+        assert np.array_equal(np.asarray(hc.mesh_index),
+                              np.asarray(hs.mesh_index))
+        tm = jnp.where(jnp.asarray(live), 8.0, -1.0)
+        aa = intersect_any(geom, o, d, tm, scattered=False)
+        ab = intersect_any(geom, o, d, tm, scattered=True)
+        assert np.array_equal(np.asarray(aa), np.asarray(ab))
+
+    def test_mt_cm_layout_exact(self, np_rng, monkeypatch):
+        """The column-major leaf-MT layout (PTRT_MT_CM) must reproduce the
+        row-major results bit-for-bit (same gathered values, same test)."""
+        from ptrt_tpu.render import traverse as tv
+
+        meshes = [Mesh.sphere(14), Mesh.cube(), Mesh.plane_xz(-1.0, 4.0)]
+        geom = assemble_geometry(meshes)
+        n = 2048
+        o = _vec(np_rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+                 + np.array([0, 0.2, 3], np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)))
+        h_rm = intersect_closest(geom, o, d)
+        a_rm = intersect_any(geom, o, d, jnp.full((n,), 8.0))
+        monkeypatch.setattr(tv, "MT_CM", 1)
+        h_cm = intersect_closest(geom, o, d)
+        a_cm = intersect_any(geom, o, d, jnp.full((n,), 8.0))
+        assert np.array_equal(np.asarray(h_rm.hit), np.asarray(h_cm.hit))
+        assert np.array_equal(np.asarray(h_rm.t), np.asarray(h_cm.t))
+        assert np.array_equal(np.asarray(h_rm.mesh_index),
+                              np.asarray(h_cm.mesh_index))
+        assert np.array_equal(np.asarray(a_rm), np.asarray(a_cm))
+
+    def test_presplit_exact(self, np_rng, monkeypatch):
+        """Build-time triangle pre-splitting (scene_geom._presplit_tris)
+        must not change any intersection result — same surface, tighter
+        leaf AABBs."""
+        import ptrt_tpu.geometry.scene_geom as sg
+
+        meshes = [Mesh.sphere(10), Mesh.plane_xz(-1.0, 30.0)]
+        g_ref = assemble_geometry(meshes, presplit=False)
+        monkeypatch.setattr(sg, "PRESPLIT_FRAC", 0.05)
+        g_split = assemble_geometry(meshes, presplit=True)
+        assert g_split.num_tri_slots > g_ref.num_tri_slots  # plane was split
+        assert not hasattr(g_split, "_host_order")  # refit must fail loudly
+        n = 512
+        o = _vec(np_rng.normal(size=(n, 3)).astype(np.float32) * 3.0
+                 + np.array([0, 1, 0], np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)))
+        ha = intersect_closest(g_ref, o, d)
+        hb = intersect_closest(g_split, o, d)
+        assert np.array_equal(np.asarray(ha.hit), np.asarray(hb.hit))
+        m = np.asarray(ha.hit)
+        assert np.allclose(np.asarray(ha.t)[m], np.asarray(hb.t)[m],
+                           rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(ha.mesh_index),
+                              np.asarray(hb.mesh_index))
+        tm = jnp.full((n,), 10.0)
+        assert np.array_equal(np.asarray(intersect_any(g_ref, o, d, tm)),
+                              np.asarray(intersect_any(g_split, o, d, tm)))
+
     def test_shadow_skips_transmissive(self):
         # glass cube between origin and light must not occlude
         geom = assemble_geometry([Mesh.cube()], material_transmission=[0.98])

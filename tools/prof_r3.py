@@ -79,10 +79,16 @@ def part_a(R=2_200_000):
 
 
 def _camera_rays(sc, R):
+    """R rays through pixel centers.  For R < rw*rh the pixels are STRIDED
+    over the whole frame (a contiguous block would sample one corner — the
+    top rows see only sky/floor and give wildly unrepresentative hit and
+    bounce populations)."""
     rh, rw = sc.render_size
     cam = sc.camera
-    ys = (np.arange(R) // rw) % rh
-    xs = np.arange(R) % rw
+    total = rw * rh
+    pix = (np.arange(R, dtype=np.int64) * max(total // R, 1)) % total
+    ys = pix // rw
+    xs = pix % rw
     u = jnp.asarray((xs + 0.5) / rw, jnp.float32)
     v = jnp.asarray((ys + 0.5) / rh, jnp.float32)
     rb = cam.get_ray_simple(u, v)
@@ -174,7 +180,7 @@ def _main():
         part_f(R)
     if "o" in which:
         part_o(R)
-    if set(which) & set("bcdeghijklmn"):
+    if set(which) & set("bcdeghijklmnp"):
         sc = build_bench_scene(1920, 1080, target_tris=tris)
         sc._ensure_device_state()
         if "b" in which:
@@ -201,6 +207,8 @@ def _main():
             part_m(sc)
         if "n" in which:
             part_n(sc)
+        if "p" in which:
+            part_p(sc, R=int(os.environ.get("RP", "0")) or None)
 
 
 def part_d(sc, R=2_200_000):
@@ -633,11 +641,18 @@ def part_o(R=2_200_000, D=16):
             return st, sp, ent
         return jax.lax.fori_loop(0, K, body, (st, sp, ent))[2]
 
-    print(f"-- O: lane-padding microbench, R={R}, D={D}, chain K={K} --")
-    ms = timeit(jax.jit(push_pop_rm), st_rm, sp0, ent0) * 1e3 / K
-    print(f"  stack push+pop (R,D) row-major: {ms:7.2f} ms/iter")
-    ms = timeit(jax.jit(push_pop_cm), st_cm, sp0, ent0) * 1e3 / K
-    print(f"  stack push+pop (D,R) col-major: {ms:7.2f} ms/iter")
+    sub = os.environ.get("SUB", "sm")
+    print(f"-- O: lane-padding microbench, R={R}, D={D}, chain K={K} --",
+          flush=True)
+    if "s" in sub:
+        ms = timeit(jax.jit(push_pop_rm), st_rm, sp0, ent0, reps=3) * 1e3 / K
+        print(f"  stack push+pop (R,D) row-major: {ms:7.2f} ms/iter",
+              flush=True)
+        ms = timeit(jax.jit(push_pop_cm), st_cm, sp0, ent0, reps=3) * 1e3 / K
+        print(f"  stack push+pop (D,R) col-major: {ms:7.2f} ms/iter",
+              flush=True)
+    if "m" not in sub:
+        return
 
     # dense MT, no gather: per-lane tri rows synthesized on device
     fseed = jnp.asarray(rng.normal(size=4096).astype(np.float32))
@@ -673,10 +688,10 @@ def part_o(R=2_200_000, D=16):
             return acc + jnp.min(tm, axis=0) + k
         return jax.lax.fori_loop(0, K, body, jnp.zeros((R,)))
 
-    ms = timeit(jax.jit(mt_rm), o, d, *rows_rm) * 1e3 / K
-    print(f"  dense MT x8 (R,8) row-major:    {ms:7.2f} ms/iter")
-    ms = timeit(jax.jit(mt_cm), o, d, *rows_cm) * 1e3 / K
-    print(f"  dense MT x8 (8,R) col-major:    {ms:7.2f} ms/iter")
+    ms = timeit(jax.jit(mt_rm), o, d, *rows_rm, reps=3) * 1e3 / K
+    print(f"  dense MT x8 (R,8) row-major:    {ms:7.2f} ms/iter", flush=True)
+    ms = timeit(jax.jit(mt_cm), o, d, *rows_cm, reps=3) * 1e3 / K
+    print(f"  dense MT x8 (8,R) col-major:    {ms:7.2f} ms/iter", flush=True)
 
 
 def part_n(sc):
@@ -779,6 +794,71 @@ def part_n(sc):
         return jnp.take(rows, perm, axis=0)
     ms_p = timeit(jax.jit(just_perm), oo, dd, t0, reps=5) * 1e3
     print(f"  (sort + row-permute overhead alone: {ms_p:6.1f} ms)")
+
+
+def part_p(sc, R=None):
+    """Walk utilization profile on SCATTERED (diffuse-bounce) rays: per
+    iteration, what fraction of lanes has a pending leaf (the leaf
+    gather+MT block — 3/4 of the body cost — is useful only for those)
+    and a pending node.  If leaf occupancy is low, scheduling leaf work
+    less often at higher occupancy is a direct multiplier."""
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    h, w = 1080, 1920
+    R = h * w if R is None else R
+    o, d = _camera_rays(sc, R)
+    hitp = tv.intersect_closest(g, o, d)
+    rng = np.random.default_rng(2)
+    rnd = normalize(Vec3(*[jnp.asarray(rng.normal(size=R).astype(np.float32))
+                           for _ in range(3)]))
+    n = hitp.normal
+    dd = normalize(Vec3(n.x + 0.9 * rnd.x, n.y + 0.9 * rnd.y,
+                        n.z + 0.9 * rnd.z))
+    oo = Vec3(hitp.point.x + n.x * 1e-3, hitp.point.y + n.y * 1e-3,
+              hitp.point.z + n.z * 1e-3)
+    live = hitp.hit
+    print(f"-- P: scattered-walk utilization, R={R}, "
+          f"live={float(jnp.mean(live)):.2f} --")
+
+    iota_d = jnp.arange(g.stack_depth, dtype=jnp.int32)
+    state = tv._init_walk_state(R, g.stack_depth, live, ordered=True)
+    t0 = jnp.where(live, 1e30, -1.0)
+    state.update(t=t0, best=jnp.full((R,), -1, jnp.int32))
+    state = tv._seed_from_root(state, g, oo, dd, t0, tv._ray_octant(dd))
+    body, _ = tv._make_closest_body(g, oo, dd, iota_d)
+
+    step = jax.jit(lambda s: body((s, jnp.int32(0)))[0])
+    stats = jax.jit(lambda s: (
+        jnp.sum(tv._active(s).astype(jnp.int32)),
+        jnp.sum((s["mask_l"] != 0).astype(jnp.int32)),
+        jnp.sum((s["mask_i"] != 0).astype(jnp.int32)),
+        jnp.sum(jax.lax.population_count(s["mask_l"])),
+    ))
+
+    act, lf, nd, lbits = [], [], [], []
+    s = state
+    for it in range(600):
+        a, l, ni, lb = (int(x) for x in stats(s))
+        if a == 0:
+            break
+        act.append(a); lf.append(l); nd.append(ni); lbits.append(lb)
+        s = step(s)
+    act = np.array(act); lf = np.array(lf); nd = np.array(nd)
+    print(f"  iterations to drain (no compaction): {len(act)}")
+    print(f"  sum(active)/R = {act.sum()/R:.2f}")
+    print(f"  leaf-occupancy (mask_l!=0 of active): "
+          f"overall {lf.sum()/act.sum():.3f}")
+    print(f"  node-occupancy (mask_i!=0 of active): "
+          f"overall {nd.sum()/act.sum():.3f}")
+    print(f"  mean pending leaf bits per leaf-lane: "
+          f"{np.array(lbits).sum()/max(lf.sum(),1):.2f}")
+    for a, b in ((0, 5), (5, 10), (10, 20), (20, 40), (40, len(act))):
+        if a >= len(act):
+            break
+        sl = slice(a, min(b, len(act)))
+        print(f"  iters {a:>3}-{min(b,len(act)):>3}: act/R "
+              f"{act[sl].mean()/R:.3f}  leaf-occ {lf[sl].sum()/act[sl].sum():.3f}"
+              f"  node-occ {nd[sl].sum()/act[sl].sum():.3f}")
 
 
 def part_m(sc):
