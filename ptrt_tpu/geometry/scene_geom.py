@@ -111,7 +111,15 @@ def _presplit_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     diag = float(np.linalg.norm(allv.max(0) - allv.min(0)))
     if not np.isfinite(diag) or diag <= 0.0:
         return v0, v1, v2, mid
-    thr2 = (frac * diag) ** 2
+    # split only OUTLIERS: triangles big vs the scene (frac * diagonal)
+    # that are also big vs the typical triangle (16x the median longest
+    # edge) — a lone finely-tessellated object must not re-split itself
+    # (uniform meshes keep their build-time refitability, and tri counts
+    # stay honest)
+    e0 = np.stack([((v1 - v0) ** 2).sum(1), ((v2 - v1) ** 2).sum(1),
+                   ((v0 - v2) ** 2).sum(1)], axis=1).max(1)
+    med = float(np.sqrt(np.median(e0)))
+    thr2 = max(frac * diag, 16.0 * med) ** 2
     # each round halves the longest edge of every oversized triangle, so
     # the loop terminates in O(log(max_edge / thr)) rounds
     for _ in range(32):

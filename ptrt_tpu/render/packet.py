@@ -276,7 +276,7 @@ def packet_closest_partial(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
     live = t0 > 0.0
     any_live = jnp.any(live, axis=1)
 
-    state = _init_walk_state(npkt, depth, any_live, ordered=True)
+    state = _init_walk_state(npkt, depth, any_live, ordered=True, cm=False)
     state.update(t=jnp.where(live, t0, -1.0),
                  best=jnp.full((npkt, P), -1, jnp.int32))
     (body, body_node), ivs = make_closest_bodies(geom, o, d, live, iota_d)
@@ -301,7 +301,7 @@ def packet_closest(geom: SceneGeometry, o: Vec3, d: Vec3, t0) -> dict:
     live = t0 > 0.0
     any_live = jnp.any(live, axis=1)
 
-    state = _init_walk_state(npkt, depth, any_live, ordered=True)
+    state = _init_walk_state(npkt, depth, any_live, ordered=True, cm=False)
     state.update(t=jnp.where(live, t0, -1.0),
                  best=jnp.full((npkt, P), -1, jnp.int32))
 
@@ -394,7 +394,7 @@ def packet_any_partial(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
     live = t_f > 0.0
     any_live = jnp.any(live, axis=1)
 
-    state = _init_walk_state(npkt, depth, any_live, ordered=True)
+    state = _init_walk_state(npkt, depth, any_live, ordered=True, cm=False)
     state.update(hit=jnp.zeros((npkt, P), bool))
     (body, body_node), ivs = _make_any_bodies(geom, o, d, t_f, live, iota_d)
     state = _seed_packet_root(state, geom, ivs[0], ivs[1], ivs[2], ivs[4],
@@ -414,7 +414,7 @@ def packet_any(geom: SceneGeometry, o: Vec3, d: Vec3, t_f) -> jnp.ndarray:
     live = t_f > 0.0
     any_live = jnp.any(live, axis=1)
 
-    state = _init_walk_state(npkt, depth, any_live, ordered=True)
+    state = _init_walk_state(npkt, depth, any_live, ordered=True, cm=False)
     state.update(hit=jnp.zeros((npkt, P), bool))
 
     def make_bodies(o_s, d_s, t_s, live_s):

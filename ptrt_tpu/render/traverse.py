@@ -257,6 +257,11 @@ from ptrt_tpu.geometry.bvh import _env_int
 # rides the lanes -> full-width VPU).  tools/prof_r3.py part O measures
 # the microbench; flip the default once confirmed in-situ on TPU.
 MT_CM = _env_int("PTRT_MT_CM", 0, 0, 1)
+# Stack layout experiment: 0 = (R, D) stacks (minor dim D=16 -> two
+# 8x128 tiles per row-group with 112 dead lanes each); 1 = (D, R) stacks
+# (D on sublanes, rays on lanes -> fully packed tiles).  Applies to the
+# PER-RAY walk only (packet walks keep their own row-major stacks).
+STACK_CM = _env_int("PTRT_STACK_CM", 0, 0, 1)
 
 # 0: pass 1 exits (or never runs) the moment the active count fits the tail
 # buffer — bounce-2+ and NEE walks start mostly-dead, and forcing even two
@@ -314,7 +319,29 @@ def _pop_cur(st, iota_d):
     return out
 
 
-def _descend(st, geom, o, inv_d, t_bound, iota_d, octant=None):
+def _pop_cur_cm(st, iota_d):
+    """(D, R)-stack variant of ``_pop_cur`` (see STACK_CM)."""
+    cur_mask = st["mask_i"] | st["mask_l"]
+    can_pop = (cur_mask == 0) & (st["sp"] > 0)
+    spm1 = jnp.maximum(st["sp"] - 1, 0)
+    sel = iota_d[:, None] == spm1[None, :]
+    top_a = jnp.sum(jnp.where(sel, st["stack_a"], 0), axis=0)
+    top_b = jnp.sum(jnp.where(sel, st["stack_b"], 0), axis=0)
+    out = dict(
+        st,
+        base_i=jnp.where(can_pop, (top_a >> 8) - 8, st["base_i"]),
+        mask_i=jnp.where(can_pop, top_a & 0xFF, st["mask_i"]),
+        base_l=jnp.where(can_pop, top_b >> 8, st["base_l"]),
+        mask_l=jnp.where(can_pop, top_b & 0xFF, st["mask_l"]),
+        sp=jnp.where(can_pop, spm1, st["sp"]),
+    )
+    if "stack_o" in st:
+        top_o = jnp.sum(jnp.where(sel, st["stack_o"], 0), axis=0)
+        out["ord_i"] = jnp.where(can_pop, top_o, st["ord_i"])
+    return out
+
+
+def _descend(st, geom, o, inv_d, t_bound, iota_d, octant=None, cm=False):
     """Node action: visit ONE pending internal child (one node-row gather),
     slab-test its 8 children, make them the new current entry (pushing the
     remainder of the old entry if it still has pending bits).
@@ -346,11 +373,16 @@ def _descend(st, geom, o, inv_d, t_bound, iota_d, octant=None):
     do_push = take_new & ((mask_i | mask_l) != 0)
     ent_a = ((base_i + 8) << 8) | mask_i
     ent_b = (base_l << 8) | mask_l
-    sel = (iota_d[None, :] == sp[:, None]) & do_push[:, None]
+    if cm:  # (D, R) col-major stacks (STACK_CM)
+        sel = (iota_d[:, None] == sp[None, :]) & do_push[None, :]
+        push = lambda stk, ent: jnp.where(sel, ent[None, :], stk)
+    else:  # (R, D) row-major stacks
+        sel = (iota_d[None, :] == sp[:, None]) & do_push[:, None]
+        push = lambda stk, ent: jnp.where(sel, ent[:, None], stk)
     out = dict(
         st,
-        stack_a=jnp.where(sel, ent_a[:, None], st["stack_a"]),
-        stack_b=jnp.where(sel, ent_b[:, None], st["stack_b"]),
+        stack_a=push(st["stack_a"], ent_a),
+        stack_b=push(st["stack_b"], ent_b),
         sp=jnp.where(do_push, sp + 1, sp),
         base_i=jnp.where(take_new, cba, base_i),
         mask_i=jnp.where(take_new, new_i, mask_i),
@@ -358,7 +390,7 @@ def _descend(st, geom, o, inv_d, t_bound, iota_d, octant=None):
         mask_l=jnp.where(take_new, new_l, mask_l),
     )
     if octant is not None:
-        out["stack_o"] = jnp.where(sel, st["ord_i"][:, None], st["stack_o"])
+        out["stack_o"] = push(st["stack_o"], st["ord_i"])
         out["ord_i"] = jnp.where(take_new, ordpack, st["ord_i"])
     return out
 
@@ -416,11 +448,12 @@ def _pack_active(active, small_n):
 
 
 def _compact_finish(loop_factory, state, o, d, extras=(), stages=1,
-                    result_keys=None, shrink=None):
+                    result_keys=None, shrink=None, stack_cm=False):
     """Compact unfinished lanes into a 1/shrink buffer, continue
     there (recursively re-compacting up to ``stages`` times), scatter results
     back.  ``extras`` are additional per-lane inputs (e.g. any-hit t_max).
-    All arrays are lane-major (axis 0 = lane).
+    All arrays are lane-major (axis 0 = lane), except ``stack_*`` keys when
+    ``stack_cm`` (lane axis 1, see STACK_CM).
 
     ``result_keys``: after the tail RUNS TO COMPLETION its walk state
     (masks/sp/stacks) is dead — only these keys are scattered back to the
@@ -431,7 +464,10 @@ def _compact_finish(loop_factory, state, o, d, extras=(), stages=1,
     small_n = total // shrink
     perm = _pack_active(_active(state), small_n)
     take = lambda a: jnp.take(a, perm, axis=0)
-    small = jax.tree_util.tree_map(take, state)
+    small = {k: jnp.take(a, perm,
+                         axis=1 if (stack_cm and k.startswith("stack"))
+                         else 0)
+             for k, a in state.items()}
     o_s = o.map(take)
     d_s = d.map(take)
     extras_s = tuple(take(e) for e in extras)
@@ -440,7 +476,7 @@ def _compact_finish(loop_factory, state, o, d, extras=(), stages=1,
     if not last:
         small = _compact_finish(loop_factory, small, o_s, d_s, extras_s,
                                 stages=stages - 1, result_keys=result_keys,
-                                shrink=shrink)
+                                shrink=shrink, stack_cm=stack_cm)
     if result_keys is None:
         upd = lambda full, sm: full.at[perm].set(sm)
         return jax.tree_util.tree_map(upd, state, small)
@@ -452,21 +488,26 @@ def _compact_finish(loop_factory, state, o, d, extras=(), stages=1,
 
 
 def _init_walk_state(total: int, depth: int, live,
-                     ordered: bool = False) -> dict:
-    """Start every live lane at the root (node id 0 = base 0 + slot 0)."""
+                     ordered: bool = False, cm: bool | None = None) -> dict:
+    """Start every live lane at the root (node id 0 = base 0 + slot 0).
+    Stacks are (R, D), or (D, R) with ``cm`` (defaults to STACK_CM;
+    packet walks pass cm=False — their stack machinery is row-major)."""
+    if cm is None:
+        cm = bool(STACK_CM)
     z = jnp.zeros((total,), jnp.int32)
+    stk_shape = (depth, total) if cm else (total, depth)
     st = dict(
         base_i=z,
         mask_i=jnp.where(live, 1, 0).astype(jnp.int32),
         base_l=z,
         mask_l=z,
         sp=z,
-        stack_a=jnp.zeros((total, depth), jnp.int32),
-        stack_b=jnp.zeros((total, depth), jnp.int32),
+        stack_a=jnp.zeros(stk_shape, jnp.int32),
+        stack_b=jnp.zeros(stk_shape, jnp.int32),
     )
     if ordered:
         st["ord_i"] = jnp.full((total,), _IDENTITY_ORD, jnp.int32)
-        st["stack_o"] = jnp.zeros((total, depth), jnp.int32)
+        st["stack_o"] = jnp.zeros(stk_shape, jnp.int32)
     return st
 
 
@@ -591,7 +632,8 @@ def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
         s = _run_walk(body, state, False, shrink=shrink,
                       body_node=body_node)
         s = _compact_finish(loop_fac, s, o, d, stages=stages,
-                            result_keys=("t", "best"), shrink=shrink)
+                            result_keys=("t", "best"), shrink=shrink,
+                            stack_cm=bool(STACK_CM))
     return {"t": s["t"], "best": s["best"]}
 
 
@@ -1005,11 +1047,14 @@ def _make_closest_body(geom, o, d, iota_d):
             best=jnp.where(found, blk * LEAF_SIZE + slot, st["best"]),
         )
 
+    pop = _pop_cur_cm if STACK_CM else _pop_cur
+
     def body(s):
         st, k = s
-        st = _pop_cur(st, iota_d)
+        st = pop(st, iota_d)
         st = leaf_action(st)
-        st = _descend(st, geom, o, inv_d, st["t"], iota_d, octant)
+        st = _descend(st, geom, o, inv_d, st["t"], iota_d, octant,
+                      cm=bool(STACK_CM))
         return st, k + 1
 
     def body_node_only(s):
@@ -1019,8 +1064,9 @@ def _make_closest_body(geom, o, d, iota_d):
         the walk — and no table ever becomes a cond-branch operand (which
         GSPMD would re-shard and all-gather per iteration on a mesh)."""
         st, k = s
-        st = _pop_cur(st, iota_d)
-        st = _descend(st, geom, o, inv_d, st["t"], iota_d, octant)
+        st = pop(st, iota_d)
+        st = _descend(st, geom, o, inv_d, st["t"], iota_d, octant,
+                      cm=bool(STACK_CM))
         return st, k + 1
 
     return body, body_node_only
@@ -1084,18 +1130,22 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
                 sp=jnp.where(hit, 0, st["sp"]),
             )
 
+        pop = _pop_cur_cm if STACK_CM else _pop_cur
+
         def body(s):
             st, k = s
-            st = _pop_cur(st, iota_d)
+            st = pop(st, iota_d)
             st = leaf_action(st)
-            st = _descend(st, geom, o_s, inv_d, t_s, iota_d)
+            st = _descend(st, geom, o_s, inv_d, t_s, iota_d,
+                          cm=bool(STACK_CM))
             return _early_out(st), k + 1
 
         def body_node(s):
             # leaf-free pre-phase variant (see _run_walk)
             st, k = s
-            st = _pop_cur(st, iota_d)
-            st = _descend(st, geom, o_s, inv_d, t_s, iota_d)
+            st = pop(st, iota_d)
+            st = _descend(st, geom, o_s, inv_d, t_s, iota_d,
+                          cm=bool(STACK_CM))
             return _early_out(st), k + 1
 
         return body, body_node
@@ -1113,7 +1163,7 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
                       shrink=a_shrink, body_node=body_node)
         s = _compact_finish(loop_fac, s, o, d, extras=(t_f,),
                             stages=a_stages, result_keys=("hit",),
-                            shrink=a_shrink)
+                            shrink=a_shrink, stack_cm=bool(STACK_CM))
     return s["hit"]
 
 

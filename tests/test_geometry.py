@@ -173,6 +173,28 @@ class TestBVH:
                               np.asarray(h_cm.mesh_index))
         assert np.array_equal(np.asarray(a_rm), np.asarray(a_cm))
 
+    def test_stack_cm_layout_exact(self, np_rng, monkeypatch):
+        """(D, R) walk stacks (PTRT_STACK_CM) must reproduce the (R, D)
+        results bit-for-bit, including through compaction stages."""
+        from ptrt_tpu.render import traverse as tv
+
+        meshes = [Mesh.sphere(14), Mesh.cube(), Mesh.plane_xz(-1.0, 4.0)]
+        geom = assemble_geometry(meshes)
+        n = tv.MIN_COMPACT_LANES + 2048  # engage the compaction path
+        o = _vec(np_rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+                 + np.array([0, 0.2, 3], np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)))
+        h_rm = intersect_closest(geom, o, d)
+        a_rm = intersect_any(geom, o, d, jnp.full((n,), 8.0))
+        monkeypatch.setattr(tv, "STACK_CM", 1)
+        h_cm = intersect_closest(geom, o, d)
+        a_cm = intersect_any(geom, o, d, jnp.full((n,), 8.0))
+        assert np.array_equal(np.asarray(h_rm.hit), np.asarray(h_cm.hit))
+        assert np.array_equal(np.asarray(h_rm.t), np.asarray(h_cm.t))
+        assert np.array_equal(np.asarray(h_rm.mesh_index),
+                              np.asarray(h_cm.mesh_index))
+        assert np.array_equal(np.asarray(a_rm), np.asarray(a_cm))
+
     def test_presplit_exact(self, np_rng, monkeypatch):
         """Build-time triangle pre-splitting (scene_geom._presplit_tris)
         must not change any intersection result — same surface, tighter
