@@ -140,6 +140,48 @@ def _fetch_node8(geom: SceneGeometry, nidx, octant=None):
     return bmin8, bmax8, cba, lb, lmask, imask, ordpack
 
 
+def _fetch_node8_cm(geom: SceneGeometry, nidx, octant=None):
+    """Column-major variant of ``_fetch_node8`` (see NODE_CM): one gathered
+    row, transposed once; AABB fields as (8, R) views."""
+    row = jnp.take(geom.node_rows, nidx, axis=0).T  # (64, R)
+    bmin8 = (row[0:8], row[8:16], row[16:24])
+    bmax8 = (row[24:32], row[32:40], row[40:48])
+    cba = _i32(row[48])
+    lb = _i32(row[49])
+    lmask = _i32(row[50])
+    imask = _i32(row[51])
+    if octant is None:
+        return bmin8, bmax8, cba, lb, lmask, imask, None
+    ordcols = _i32(row[52:60])
+    ordpack = jnp.zeros_like(nidx)
+    for o in range(8):
+        ordpack = jnp.where(octant == o, ordcols[o], ordpack)
+    return bmin8, bmax8, cba, lb, lmask, imask, ordpack
+
+
+def _slab8_cm(bmin8, bmax8, o: Vec3, inv_d: Vec3, t_max):
+    """(8, R)-oriented slab test (NODE_CM); rays broadcast on axis 0."""
+    oc = (o.x[None, :], o.y[None, :], o.z[None, :])
+    ic = (inv_d.x[None, :], inv_d.y[None, :], inv_d.z[None, :])
+    shape = jnp.broadcast_shapes(bmin8[0].shape, oc[0].shape)
+    t_enter = jnp.zeros(shape, bmin8[0].dtype)
+    t_exit = jnp.broadcast_to(t_max[None, :], shape)
+    for a in range(3):
+        t0 = (bmin8[a] - oc[a]) * ic[a]
+        t1 = (bmax8[a] - oc[a]) * ic[a]
+        t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
+        t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+    return t_enter <= t_exit
+
+
+def _hitmask8_cm(hits8) -> jnp.ndarray:
+    """(8, R) bool -> int32 bitmask per lane."""
+    m = jnp.zeros(hits8.shape[1:], jnp.int32)
+    for k, b in enumerate(_BITS8):
+        m = m | jnp.where(hits8[k], jnp.int32(b), 0)
+    return m
+
+
 _IDENTITY_ORD = sum(k << (3 * k) for k in range(8))  # slot k at rank k
 
 
@@ -262,6 +304,9 @@ MT_CM = _env_int("PTRT_MT_CM", 0, 0, 1)
 # (D on sublanes, rays on lanes -> fully packed tiles).  Applies to the
 # PER-RAY walk only (packet walks keep their own row-major stacks).
 STACK_CM = _env_int("PTRT_STACK_CM", 0, 0, 1)
+# Node-path layout experiment: transpose the gathered (R, 64) node row and
+# slab-test in (8, R) orientation (same rationale as MT_CM/STACK_CM).
+NODE_CM = _env_int("PTRT_NODE_CM", 0, 0, 1)
 
 # 0: pass 1 exits (or never runs) the moment the active count fits the tail
 # buffer — bounce-2+ and NEE walks start mostly-dead, and forcing even two
@@ -361,9 +406,14 @@ def _descend(st, geom, o, inv_d, t_bound, iota_d, octant=None, cm=False):
         # mask_i lives in RANK space: LSB = next rank, then map to slot
         slot_i = _rank_to_slot(_lsb_slot(mask_i), st["ord_i"])
     naddr = jnp.clip(base_i + slot_i, 0, geom.num_nodes - 1)
-    bmin8, bmax8, cba, lb, row_lmask, row_imask, ordpack = _fetch_node8(
-        geom, naddr, octant)
-    hitm = _hitmask8(_slab8(bmin8, bmax8, o, inv_d, t_bound))
+    if NODE_CM and jnp.ndim(naddr) == 1:  # per-ray walk only (see NODE_CM)
+        bmin8, bmax8, cba, lb, row_lmask, row_imask, ordpack = (
+            _fetch_node8_cm(geom, naddr, octant))
+        hitm = _hitmask8_cm(_slab8_cm(bmin8, bmax8, o, inv_d, t_bound))
+    else:
+        bmin8, bmax8, cba, lb, row_lmask, row_imask, ordpack = _fetch_node8(
+            geom, naddr, octant)
+        hitm = _hitmask8(_slab8(bmin8, bmax8, o, inv_d, t_bound))
     new_l = hitm & row_lmask
     new_i = hitm & row_imask
     if octant is not None:
@@ -590,7 +640,8 @@ def _slab1(bb_min, bb_max, o: Vec3, inv_d: Vec3, t_max):
 
 
 def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
-                      roots=None, scattered: bool = False) -> dict:
+                      roots=None, scattered: bool = False,
+                      skip_pass1: bool = False) -> dict:
     """Run the closest-hit walk over flat lanes; lanes with t0 <= 0 are
     dead.  Returns the raw best state {t, best} (``best`` packs the winning
     (tri block, slot); -1 = none).
@@ -602,7 +653,13 @@ def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
 
     ``scattered`` selects the ladder compaction profile (SCATTER_SHRINK /
     SCATTER_STAGES) tuned for bounce wavefronts whose active set collapses
-    within a few iterations."""
+    within a few iterations.
+
+    ``skip_pass1``: the caller GUARANTEES at most total/shrink lanes are
+    live (e.g. a packet-handoff tail, live <= 1/16 by construction) — the
+    full-width pass (and its body instantiation in the program) is elided
+    and the walk starts compacted.  Lanes beyond the guarantee would be
+    silently dropped; only set this when the bound is structural."""
     total = jnp.size(t0)
     depth = geom.stack_depth
     iota_d = jnp.arange(depth, dtype=jnp.int32)
@@ -625,10 +682,15 @@ def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
         b, bn = _make_closest_body(geom, o_s, d_s, iota_d)
         return _run_walk(b, st, to_completion, shrink=shrink, body_node=bn)
 
-    body, body_node = _make_closest_body(geom, o, d, iota_d)
     if total < MIN_COMPACT_LANES:
+        body, body_node = _make_closest_body(geom, o, d, iota_d)
         s = _run_walk(body, state, True, body_node=body_node)
+    elif skip_pass1:
+        s = _compact_finish(loop_fac, state, o, d, stages=stages,
+                            result_keys=("t", "best"), shrink=shrink,
+                            stack_cm=bool(STACK_CM))
     else:
+        body, body_node = _make_closest_body(geom, o, d, iota_d)
         s = _run_walk(body, state, False, shrink=shrink,
                       body_node=body_node)
         s = _compact_finish(loop_fac, s, o, d, stages=stages,
@@ -941,9 +1003,11 @@ def _hybrid_closest_state(gs, o: Vec3, d: Vec3, t0, raw_pk: dict) -> dict:
     (others enter dead), merged with the packet phase's results."""
     t_restart = jnp.where(raw_pk["unfinished"] & (t0 > 0.0),
                           raw_pk["t"], -1.0)
-    # the tail front is mostly dead by construction (unfinished packets fit
-    # a 1/16 buffer) — the ladder profile skips the wide head iterations
-    s_ray = _walk_closest_raw(gs, o, d, t_restart, scattered=True)
+    # the tail front is mostly dead BY CONSTRUCTION (unfinished packets fit
+    # a 1/_PKC_HANDOFF_SHRINK >= 1/SCATTER_SHRINK buffer): the ladder
+    # profile applies and the full-width pass is elided outright
+    s_ray = _walk_closest_raw(gs, o, d, t_restart, scattered=True,
+                              skip_pass1=_PKC_HANDOFF_SHRINK >= SCATTER_SHRINK)
     closer = s_ray["best"] >= 0
     return _reconstruct_hit(gs, o, d, {
         "t": jnp.where(closer, s_ray["t"], raw_pk["t"]),
@@ -1073,11 +1137,13 @@ def _make_closest_body(geom, o, d, iota_d):
 
 
 def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
-               roots=None, scattered: bool = False) -> jnp.ndarray:
+               roots=None, scattered: bool = False,
+               skip_pass1: bool = False) -> jnp.ndarray:
     """Any-hit walk over flat lanes; lanes with t_f <= 0 are dead.  With
     ``roots``, lanes start at per-lane subtree roots (batched instances).
     ``scattered`` selects the ladder compaction profile (see
-    SCATTER_SHRINK)."""
+    SCATTER_SHRINK).  ``skip_pass1``: see ``_walk_closest_raw`` — only
+    with a STRUCTURAL live-count bound <= total/shrink."""
     if scattered:
         a_shrink, a_stages = ANY_SCATTER_SHRINK, ANY_SCATTER_STAGES
     else:
@@ -1155,10 +1221,15 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
         return _run_walk(b, st, to_completion, shrink=a_shrink,
                          body_node=bn)
 
-    body, body_node = make_body(o, d, t_f)
     if total < MIN_COMPACT_LANES:
+        body, body_node = make_body(o, d, t_f)
         s = _run_walk(body, state, True, body_node=body_node)
+    elif skip_pass1:
+        s = _compact_finish(loop_fac, state, o, d, extras=(t_f,),
+                            stages=a_stages, result_keys=("hit",),
+                            shrink=a_shrink, stack_cm=bool(STACK_CM))
     else:
+        body, body_node = make_body(o, d, t_f)
         s = _run_walk(body, state, False,
                       shrink=a_shrink, body_node=body_node)
         s = _compact_finish(loop_fac, s, o, d, extras=(t_f,),
@@ -1228,9 +1299,11 @@ def _packet_any_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> jnp.ndarray:
         t_ray = jnp.where(pending,
                           jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                            shape), -1.0)
-        hit_ray = _any_state(gs, o.broadcast_to(shape).map(jnp.ravel),
-                             d.broadcast_to(shape).map(jnp.ravel),
-                             t_ray.reshape(-1), scattered=True)
+        hit_ray = _any_state(
+            gs, o.broadcast_to(shape).map(jnp.ravel),
+            d.broadcast_to(shape).map(jnp.ravel),
+            t_ray.reshape(-1), scattered=True,
+            skip_pass1=_PKA_HANDOFF_SHRINK >= ANY_SCATTER_SHRINK)
         return hit | hit_ray.reshape(shape)
     hit = pk.packet_any(gs, o_p, d_p, t_p)
     return unprep(hit)

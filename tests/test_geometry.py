@@ -187,6 +187,7 @@ class TestBVH:
         h_rm = intersect_closest(geom, o, d)
         a_rm = intersect_any(geom, o, d, jnp.full((n,), 8.0))
         monkeypatch.setattr(tv, "STACK_CM", 1)
+        monkeypatch.setattr(tv, "NODE_CM", 1)  # exercises both cm layouts
         h_cm = intersect_closest(geom, o, d)
         a_cm = intersect_any(geom, o, d, jnp.full((n,), 8.0))
         assert np.array_equal(np.asarray(h_rm.hit), np.asarray(h_cm.hit))

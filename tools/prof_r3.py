@@ -180,7 +180,7 @@ def _main():
         part_f(R)
     if "o" in which:
         part_o(R)
-    if set(which) & set("bcdeghijklmnp"):
+    if set(which) & set("bcdeghijklmnpq"):
         sc = build_bench_scene(1920, 1080, target_tris=tris)
         sc._ensure_device_state()
         if "b" in which:
@@ -209,6 +209,8 @@ def _main():
             part_n(sc)
         if "p" in which:
             part_p(sc, R=int(os.environ.get("RP", "0")) or None)
+        if "q" in which:
+            part_q(sc)
 
 
 def part_d(sc, R=2_200_000):
@@ -859,6 +861,40 @@ def part_p(sc, R=None):
         print(f"  iters {a:>3}-{min(b,len(act)):>3}: act/R "
               f"{act[sl].mean()/R:.3f}  leaf-occ {lf[sl].sum()/act[sl].sum():.3f}"
               f"  node-occ {nd[sl].sum()/act[sl].sum():.3f}")
+
+
+def part_q(sc):
+    """Ladder-vs-camera compaction profile on REALISTIC bounce wavefronts
+    (1080p primary hits, lambertian bounce, 0.61 live) + NEE-style any."""
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    h, w = 1080, 1920
+    R = h * w
+    o, d = _camera_rays(sc, R)
+    hitp = tv.intersect_closest(g, o, d)
+    rng = np.random.default_rng(2)
+    rnd = normalize(Vec3(*[jnp.asarray(rng.normal(size=R).astype(np.float32))
+                           for _ in range(3)]))
+    n = hitp.normal
+    dd = normalize(Vec3(n.x + 0.9 * rnd.x, n.y + 0.9 * rnd.y,
+                        n.z + 0.9 * rnd.z))
+    oo = Vec3(hitp.point.x + n.x * 1e-3, hitp.point.y + n.y * 1e-3,
+              hitp.point.z + n.z * 1e-3)
+    live = hitp.hit
+    t0 = jnp.where(live, 1e30, -1.0)
+    tny = jnp.where(live, 25.0, -1.0)
+    print(f"-- Q: bounce-walk ladder vs camera profile, R={R}, "
+          f"live={float(jnp.mean(live)):.2f} --")
+    for name, scat in (("camera profile", False), ("ladder profile", True)):
+        f = jax.jit(lambda O, D, T, s=scat: tv.intersect_closest(
+            g, O, D, T, scattered=s).t)
+        ms = timeit(f, oo, dd, t0, reps=5) * 1e3
+        print(f"  closest {name}: {ms:8.1f} ms", flush=True)
+    for name, scat in (("camera profile", False), ("ladder profile", True)):
+        fa = jax.jit(lambda O, D, T, s=scat: tv.intersect_any(
+            g, O, D, T, scattered=s))
+        ms = timeit(fa, oo, dd, tny, reps=5) * 1e3
+        print(f"  any     {name}: {ms:8.1f} ms", flush=True)
 
 
 def part_m(sc):

@@ -21,7 +21,10 @@ run PARTS=o SUB=s python -u tools/prof_r3.py
 run PARTS=b python -u tools/prof_r3.py
 run PARTS=b PTRT_MT_CM=1 python -u tools/prof_r3.py
 run PARTS=b PTRT_STACK_CM=1 python -u tools/prof_r3.py
-run PARTS=b PTRT_MT_CM=1 PTRT_STACK_CM=1 python -u tools/prof_r3.py
+run PARTS=b PTRT_NODE_CM=1 python -u tools/prof_r3.py
+run PARTS=b PTRT_MT_CM=1 PTRT_STACK_CM=1 PTRT_NODE_CM=1 python -u tools/prof_r3.py
+run PARTS=q python -u tools/prof_r3.py
+run PARTS=q PTRT_MT_CM=1 PTRT_STACK_CM=1 PTRT_NODE_CM=1 python -u tools/prof_r3.py
 T=3600 run PARTS=l python -u tools/prof_r3.py
 T=3600 run python bench.py
 date | tee -a "$LOG"
