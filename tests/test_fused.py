@@ -28,6 +28,51 @@ def test_device_matrices_match_host(trs):
     assert np.allclose(nrm_dev, nrm_host, atol=1e-5)
 
 
+def test_fused_cube_slider_smoke():
+    """The north-star loop compiles and runs: step + instance TLAS +
+    trace + tonemap as one program, zero host scene edits."""
+    from ptrt_tpu.games.cube_slider import run_fused
+
+    state, fps, rgb8 = run_fused(n_frames=2, width=96, height=64,
+                                 preset="fast")
+    assert rgb8.shape == (64, 96, 3) and rgb8.dtype == np.uint8
+    assert fps > 0
+    assert float(state.t) > 0
+
+
+def test_fused_tycoon_placement(monkeypatch):
+    """Fused tycoon: placement/demolition are device-side actions inside
+    the jitted frame — economy and visibility must respond without any
+    host scene edit."""
+    import ptrt_tpu.games.tycoon as ty
+
+    monkeypatch.setattr(ty, "GRID", 3)  # 27 slots keeps the test light
+    from ptrt_tpu.games.fused import FusedRunner
+
+    u, scene, centers = ty.build_fused_scene(96, 64)
+    scene.set_performance_preset("fast")
+    runner = FusedRunner(
+        scene, step_fn=ty.fused_step,
+        derive_fn=lambda s: ty.derive_fused_scene(s, centers))
+    dt = jnp.float32(1.0)
+
+    s0 = ty.init_fused_state(start_money=200.0)
+    # frame 1: place a tower (cost 400 > money) -> must be REJECTED
+    script = [(ty.ACT_PLACE, 1, 1, 2), (ty.ACT_PLACE, 1, 1, 0),
+              (ty.ACT_DEMOLISH, 1, 1, 0), (ty.ACT_NONE, 0, 0, 0)]
+    inputs = lambda i: tuple(jnp.int32(v) for v in script[i]) + (dt,)
+    state, fps, rgb8 = runner.run(s0, inputs, 3)
+    assert rgb8.shape == (64, 96, 3)
+    g = np.asarray(state.grid)
+    assert g[1, 1] == -1  # tower rejected (too expensive), hut demolished
+    # hut was placed on frame 1 (cost 50) and demolished on frame 2:
+    # money decreased by 50 then accrued hut income for one tick
+    hut_cost, hut_income = ty.BUILDING_TYPES[0][1], ty.BUILDING_TYPES[0][2]
+    assert float(state.money) == pytest.approx(
+        200.0 - hut_cost + hut_income, abs=1e-3)
+    assert float(state.income) == pytest.approx(0.0, abs=1e-5)
+
+
 def test_device_world_aabb_matches_host():
     pos, rot, scale = (1.0, -2.0, 3.0), (0.5, 1.1, -0.3), (1.5, 0.5, 2.0)
     t = Transform3D(position=pos, rotation=rot, scale=scale)

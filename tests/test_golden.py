@@ -16,6 +16,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 _CASES = [
     "metal_demo", "glass_demo", "material_showcase", "pt_lit_test",
     "pt_material_matrix", "rt_cornell_box", "denoised_cornell",
+    "denoised_metal",
 ]
 
 

@@ -30,7 +30,8 @@ def main():
     n = int(os.environ.get("PTRT_GAME_FRAMES", 60))
     presets = os.environ.get("PTRT_GAME_PRESETS",
                              "fast,performance,balanced").split(",")
-    games = os.environ.get("PTRT_GAMES", "cube_slider,fluid").split(",")
+    games = os.environ.get("PTRT_GAMES",
+                           "cube_slider,fluid,tycoon").split(",")
 
     results = []
     for game in games:
@@ -40,6 +41,10 @@ def main():
                                          preset=p)
         elif game == "fluid":
             from ptrt_tpu.games.fluid import run_fused
+            runner = lambda p: run_fused(n_frames=n, width=w, height=h,
+                                         preset=p)
+        elif game == "tycoon":
+            from ptrt_tpu.games.tycoon import run_fused
             runner = lambda p: run_fused(n_frames=n, width=w, height=h,
                                          preset=p)
         else:

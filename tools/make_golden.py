@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/ptrt_jax_cache")
+# CPU-only cache: the shared cache can hold CPU entries compiled by the
+# axon remote-compile service for its OWN host features (SIGILL risk here)
+jax.config.update("jax_compilation_cache_dir", "/tmp/ptrt_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
@@ -63,21 +65,29 @@ def golden_scenes(w: int, h: int):
         sc = create_cornell_box(w, h)
         return sc.render_frame()
 
-    def denoised_cornell():
-        # denoiser-on golden at FULL golden resolution (VERDICT r2 #7):
-        # 3 frames through the complete frame program (split trace + SVGF
-        # temporal reprojection/history + a-trous + bloom + tonemap).
-        # CPU compile of the balanced program is ~3-4 min cold (cached
-        # afterwards) — the CI cost of having real pixel evidence on the
-        # full product path.
-        u = UnifiedScenePresets.CornellBox(w, h)
-        sc = UnifiedSceneBuilder.build_pt_scene(u)
-        sc.set_performance_preset("balanced")
-        sc.perf.resolution_scale = 1.0
-        img = None
-        for _ in range(3):
-            img = sc.render_frame()
-        return img
+    def denoised(preset_fn):
+        # denoiser-on render through the complete frame program (split
+        # trace + SVGF temporal reprojection/history + a-trous + bloom +
+        # tonemap).  CPU compile of the balanced program is ~3-4 min cold
+        # (cached afterwards) — the CI cost of having real pixel evidence
+        # on the full product path.  NOTE the CornellBox preset is kept
+        # field-for-field reference parity (PTRTtransfer.cuh:2403-2420)
+        # and renders mostly black BY REFERENCE BEHAVIOR: the camera looks
+        # past the edge of the 278-half-size floor and the preset's
+        # red/green materials are created but never used upstream too.
+        def run():
+            u = preset_fn(w, h)
+            sc = UnifiedSceneBuilder.build_pt_scene(u)
+            sc.set_performance_preset("balanced")
+            sc.perf.resolution_scale = 1.0
+            img = None
+            for _ in range(3):
+                img = sc.render_frame()
+            return img
+        return run
+
+    denoised_cornell = denoised(UnifiedScenePresets.CornellBox)
+    denoised_metal = denoised(UnifiedScenePresets.MetalDemo)
 
     return {
         "metal_demo": pt_preset(UnifiedScenePresets.MetalDemo),
@@ -87,6 +97,7 @@ def golden_scenes(w: int, h: int):
         "pt_material_matrix": pt_demo(10),
         "rt_cornell_box": rt_cornell,
         "denoised_cornell": denoised_cornell,
+        "denoised_metal": denoised_metal,
     }
 
 
@@ -94,6 +105,19 @@ def main() -> None:
     from ptrt_tpu.utils.imageio import save_png
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    if "--hq" in sys.argv:
+        # 640x360 denoised gallery renders (VERDICT r2 #7): the full
+        # product frame (split trace + SVGF + bloom + tonemap) at a
+        # human-inspectable size.  Gallery-only — golden CI stays 320x180.
+        # The metal-demo scene is the visual evidence (lit, sky, objects);
+        # the cornell one documents the reference-parity preset.
+        os.makedirs(GALLERY_DIR, exist_ok=True)
+        scenes = golden_scenes(640, 360)
+        for name in ("denoised_metal", "denoised_cornell"):
+            img = scenes[name]()
+            save_png(os.path.join(GALLERY_DIR, f"{name}_640.png"), img)
+            print(f"gallery {name}_640", img.shape, img.mean().round(1))
+        return
     if "--gallery" in sys.argv:
         os.makedirs(GALLERY_DIR, exist_ok=True)
     for name, fn in golden_scenes(GOLDEN_W, GOLDEN_H).items():
