@@ -91,6 +91,7 @@ class FusedRunner:
             bool(p.enable_russian_roulette),
             int(p.russian_roulette_start_bounce),
             bool(p.enable_motion_vectors),
+            bool(getattr(p, "camera_nee_fix", True)),
         )
 
         iset0, static, local_lo, local_hi = (

@@ -59,7 +59,7 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
                 rng_state, frame_index, width: int, height: int, spp: int,
                 max_depth: int, split: bool, use_brute: bool,
                 blue_noise_tbl, rr_enabled: bool = True,
-                rr_start: int = 2) -> tuple:
+                rr_start: int = 2, camera_nee: bool = True) -> tuple:
     """``path_trace_kernel`` equivalent (``scene_kernels.cuh:120-194``).
 
     The reference's per-thread spp loop becomes an spp AXIS on the wavefront
@@ -90,7 +90,8 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
         _, out = trace_path(geom, materials, lights, n_lights, sky, ray,
                             sub, max_depth, split=split,
                             use_brute=use_brute, rr_enabled=rr_enabled,
-                            rr_start=rr_start, pixel_grid=True)
+                            rr_start=rr_start, camera_nee=camera_nee,
+                            pixel_grid=True)
         return out
 
     def batch_parts(s0, sb):

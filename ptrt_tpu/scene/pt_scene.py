@@ -52,6 +52,14 @@ class PerformanceSettings:
     fast_bvh_updates: bool = True
     enable_russian_roulette: bool = True
     russian_roulette_start_bounce: int = 1
+    # False = exact reference behavior: camera rays are marked specular
+    # (camera.cuh:201-205) and NEE is gated on !isSpecular
+    # (path_logic.cuh:840,982), so PRIMARY hits never receive direct
+    # analytic light — a documented reference defect (a point-lit scene
+    # renders black).  True (default) fixes it.  Reference-authored
+    # preset scenes were tuned around the defect and look overexposed
+    # with the fix on; tools/make_golden.py renders them with False.
+    camera_nee_fix: bool = True
 
 
 class Scene:
@@ -459,6 +467,7 @@ class Scene:
             bool(self.perf.enable_russian_roulette),
             int(self.perf.russian_roulette_start_bounce),
             bool(self.perf.enable_motion_vectors),
+            bool(self.perf.camera_nee_fix),
         )
         rgb8, self._rng_state, self._denoiser_state = fn(
             self._geom, self._mat_table, self._light_table, self._sky(),
@@ -484,6 +493,7 @@ class Scene:
         has_env = self.env_map is not None
         rr_on = bool(self.perf.enable_russian_roulette)
         rr_start = int(self.perf.russian_roulette_start_bounce)
+        cam_nee = bool(self.perf.camera_nee_fix)
         denoise = bool(self.perf.enable_denoiser)
 
         chunks = []
@@ -497,7 +507,7 @@ class Scene:
         off = 0
         for k, c in enumerate(chunks):
             fn = _trace_split(rw, rh, c, depth, n_lights, brute, has_env,
-                              denoise, rr_on, rr_start)
+                              denoise, rr_on, rr_start, cam_nee)
             self._rng_state, bufs = fn(
                 self._geom, self._mat_table, self._light_table, self._sky(),
                 self.camera, self._rng_state,
@@ -534,7 +544,8 @@ class Scene:
             state, bufs = _trace_only(
                 rw, rh, self.perf.samples_per_pixel,
                 self.perf.max_bounce_depth, len(self.lights),
-                self._use_brute(), self.env_map is not None)(
+                self._use_brute(), self.env_map is not None,
+                bool(self.perf.camera_nee_fix))(
                 self._geom, self._mat_table, self._light_table, self._sky(),
                 self.camera, self._rng_state, jnp.int32(self.frame_count),
                 self._blue_noise)
@@ -642,14 +653,15 @@ def _wireframe_program(width: int, height: int, use_brute: bool):
     return _wire_cache[key]
 
 
-def _trace_only(rw, rh, spp, depth, n_lights, use_brute, has_env):
-    key = (rw, rh, spp, depth, n_lights, use_brute, has_env)
+def _trace_only(rw, rh, spp, depth, n_lights, use_brute, has_env,
+                camera_nee=True):
+    key = (rw, rh, spp, depth, n_lights, use_brute, has_env, camera_nee)
     if key not in _trace_cache:
         def fn(geom, mats, lights, sky, camera, rng_state, frame_idx, bn):
             return pl.trace_frame(geom, mats, lights, n_lights, sky, camera,
                                   rng_state, frame_idx, rw, rh, spp, depth,
                                   split=False, use_brute=use_brute,
-                                  blue_noise_tbl=bn)
+                                  blue_noise_tbl=bn, camera_nee=camera_nee)
         _trace_cache[key] = jax.jit(fn)
     return _trace_cache[key]
 
@@ -664,16 +676,16 @@ _post_cache: dict = {}
 
 
 def _trace_split(rw, rh, spp, depth, n_lights, use_brute, has_env, split,
-                 rr_enabled, rr_start):
+                 rr_enabled, rr_start, camera_nee=True):
     key = (rw, rh, spp, depth, n_lights, use_brute, has_env, split,
-           rr_enabled, rr_start)
+           rr_enabled, rr_start, camera_nee)
     if key not in _trace_split_cache:
         def fn(geom, mats, lights, sky, camera, rng_state, frame_idx, bn):
             return pl.trace_frame(geom, mats, lights, n_lights, sky, camera,
                                   rng_state, frame_idx, rw, rh, spp, depth,
                                   split=split, use_brute=use_brute,
                                   blue_noise_tbl=bn, rr_enabled=rr_enabled,
-                                  rr_start=rr_start)
+                                  rr_start=rr_start, camera_nee=camera_nee)
         _trace_split_cache[key] = jax.jit(fn)
     return _trace_split_cache[key]
 
@@ -735,7 +747,7 @@ def _post_program(rw, rh, full_w, full_h, denoise, bloom,
 
 def _frame_fn(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
               n_lights, use_brute, has_env, rr_enabled=True, rr_start=2,
-              motion_vectors_on=True):
+              motion_vectors_on=True, camera_nee=True):
     """The raw (unjitted) one-frame pipeline body: trace -> MV -> SVGF ->
     bloom -> upscale -> tonemap.  ``_frame_program`` jits it standalone;
     fused game frames (games/fused.py) inline it after their step so
@@ -750,7 +762,8 @@ def _frame_fn(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
         rng_state, bufs = pl.trace_frame(
             geom, mats, lights, n_lights, sky, camera, rng_state, frame_idx,
             rw, rh, spp, depth, split=denoise, use_brute=use_brute,
-            blue_noise_tbl=bn, rr_enabled=rr_enabled, rr_start=rr_start)
+            blue_noise_tbl=bn, rr_enabled=rr_enabled, rr_start=rr_start,
+            camera_nee=camera_nee)
 
         current = bufs.color
         if denoise:
@@ -778,15 +791,17 @@ def _frame_fn(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
 
 def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
                    n_lights, use_brute, has_env, rr_enabled=True, rr_start=2,
-                   motion_vectors_on=True):
+                   motion_vectors_on=True, camera_nee=True):
     key = (rw, rh, full_w, full_h, spp, depth, denoise, bloom, n_lights,
-           use_brute, has_env, rr_enabled, rr_start, motion_vectors_on)
+           use_brute, has_env, rr_enabled, rr_start, motion_vectors_on,
+           camera_nee)
     if key in _frame_cache:
         return _frame_cache[key]
 
     jitted = jax.jit(_frame_fn(rw, rh, full_w, full_h, spp, depth, denoise,
                                bloom, n_lights, use_brute, has_env,
-                               rr_enabled, rr_start, motion_vectors_on))
+                               rr_enabled, rr_start, motion_vectors_on,
+                               camera_nee))
 
     def wrapper(*args):
         return jitted(*args)

@@ -174,6 +174,36 @@ class TestTracePath:
         state, out = trace_path(geom, table, lights0, 0, sky, ray, state, 4)
         assert float(out.radiance.luminance().max()) < 1e-6
 
+    def test_camera_nee_defect_semantics(self):
+        """camera_nee pins both behaviors: with the fix a point-lit diffuse
+        primary hit receives direct light; with exact reference semantics
+        (camera.cuh:201-205 + path_logic.cuh:840,982) it stays black under
+        depth=1 (no bounce can reach the light, NEE suppressed)."""
+        mesh = Mesh.plane_xz(0.0, 10.0)
+        mats = [Material.make((0.8, 0.8, 0.8), 1.0, 0.0)]
+        geom = assemble_geometry([mesh], [0.0])
+        table = MaterialTable.from_materials(mats)
+        lights = LightTable.from_lights(
+            [Light.point((0.0, 5.0, 3.0), (1.0, 1.0, 1.0), 20.0)])
+        sky = SkyConfig.off()
+        n = 32
+        o = Vec3(jnp.zeros(n), jnp.full(n, 2.0), jnp.zeros(n))
+        d = normalize(Vec3(jnp.linspace(-0.1, 0.1, n), jnp.full(n, -1.0),
+                           jnp.full(n, 1.5)))
+        ray = RayBatch.make(o, d, jnp.ones(n, bool))
+        lit = dark = None
+        for fix in (True, False):
+            state = prng.seed(jnp.arange(n), jnp.zeros(n, jnp.int32), 5)
+            state, out = trace_path(geom, table, lights, 1, sky, ray, state,
+                                    max_depth=1, camera_nee=fix)
+            lum = float(out.radiance.luminance().mean())
+            if fix:
+                lit = lum
+            else:
+                dark = lum
+        assert lit > 1e-3  # fix: primary hits receive direct light
+        assert dark < 1e-6  # reference defect reproduced exactly
+
     def test_emissive_visible_on_primary(self):
         mesh = Mesh.sphere(12)
         mesh.transform.set_position(0, 0, 3)

@@ -40,6 +40,13 @@ def golden_scenes(w: int, h: int):
     from ptrt_tpu.app.demo_scenes import build_scene_by_id
     from ptrt_tpu.app.rt_demo_scenes import create_cornell_box
 
+    # Reference-authored scenes (UnifiedScenePresets, PT demo scenes) were
+    # tuned around the reference's camera-specular NEE defect (primary hits
+    # never receive direct analytic light, path_logic.cuh:840,982) — with
+    # the default fix ON their point-light intensities overexpose (MetalDemo
+    # floor: mean 44 -> 209).  Goldens/gallery render reference content with
+    # reference semantics (camera_nee_fix=False); the engine default stays
+    # True and is covered by the integrator/pipeline test suites.
     def pt_preset(preset_fn, frames=2, depth=4):
         def run():
             u = preset_fn(w, h)
@@ -49,6 +56,7 @@ def golden_scenes(w: int, h: int):
             sc.perf.max_bounce_depth = depth
             sc.perf.samples_per_pixel = 1
             sc.perf.resolution_scale = 1.0
+            sc.perf.camera_nee_fix = False
             return sc.render_average(frames)
         return run
 
@@ -58,6 +66,7 @@ def golden_scenes(w: int, h: int):
             sc.set_performance_preset("fast")
             sc.perf.resolution_scale = 1.0
             sc.perf.max_bounce_depth = 3
+            sc.perf.camera_nee_fix = False
             return sc.render_average(frames)
         return run
 
@@ -80,6 +89,7 @@ def golden_scenes(w: int, h: int):
             sc = UnifiedSceneBuilder.build_pt_scene(u)
             sc.set_performance_preset("balanced")
             sc.perf.resolution_scale = 1.0
+            sc.perf.camera_nee_fix = False  # reference-content semantics
             img = None
             for _ in range(3):
                 img = sc.render_frame()
@@ -109,11 +119,11 @@ def main() -> None:
         # 640x360 denoised gallery renders (VERDICT r2 #7): the full
         # product frame (split trace + SVGF + bloom + tonemap) at a
         # human-inspectable size.  Gallery-only — golden CI stays 320x180.
-        # The metal-demo scene is the visual evidence (lit, sky, objects);
-        # the cornell one documents the reference-parity preset.
+        # The metal-demo scene is the visual evidence (lit, sky, objects;
+        # the cornell preset is parity-black — see golden_scenes note).
         os.makedirs(GALLERY_DIR, exist_ok=True)
         scenes = golden_scenes(640, 360)
-        for name in ("denoised_metal", "denoised_cornell"):
+        for name in ("denoised_metal",):
             img = scenes[name]()
             save_png(os.path.join(GALLERY_DIR, f"{name}_640.png"), img)
             print(f"gallery {name}_640", img.shape, img.mean().round(1))
