@@ -40,6 +40,19 @@ def test_fused_cube_slider_smoke():
     assert float(state.t) > 0
 
 
+def test_fused_fluid_refit_smoke():
+    """Fluid fused loop: step + DEVICE BVH refit of the heightfield BLAS +
+    trace + tonemap as one program (the refit itself is unit-tested in
+    test_refit; this drives it end-to-end inside the jitted frame)."""
+    from ptrt_tpu.games.fluid import run_fused
+
+    state, fps, rgb8 = run_fused(n_frames=2, width=96, height=64, grid=8,
+                                 preset="fast")
+    assert rgb8.shape == (64, 96, 3)
+    assert fps > 0
+    assert np.isfinite(np.asarray(state.height)).all()
+
+
 def test_fused_tycoon_placement(monkeypatch):
     """Fused tycoon: placement/demolition are device-side actions inside
     the jitted frame — economy and visibility must respond without any
