@@ -105,6 +105,31 @@ class TestPacketWalks:
         finally:
             tv._PK_MIN_PIXELS = old
 
+    def test_hybrid_handoff_above_compaction_threshold(self, scene_geom):
+        """A coherent grid big enough to engage the compaction machinery
+        (> MIN_COMPACT_LANES) exercises the skip_pass1 handoff tails the
+        small-grid tests never reach; results must match per-ray."""
+        sc, g = scene_geom
+        h, w = 96, 192  # 18432 > MIN_COMPACT_LANES
+        o, d = _camera_rays(sc, h, w)
+        o2 = o.map(lambda c: c.reshape(h, w))
+        d2 = d.map(lambda c: c.reshape(h, w))
+        old = tv._PK_MIN_PIXELS
+        tv._PK_MIN_PIXELS = 0
+        try:
+            hit_c = tv.intersect_closest(g, o2, d2, coherent=True)
+            hit_r = tv.intersect_closest(g, o2, d2)
+            m = np.asarray(hit_r.hit)
+            assert np.array_equal(m, np.asarray(hit_c.hit))
+            np.testing.assert_allclose(np.asarray(hit_c.t)[m],
+                                       np.asarray(hit_r.t)[m], rtol=1e-5)
+            tf = jnp.full((h, w), 6.0)
+            a_c = tv.intersect_any(g, o2, d2, tf, coherent=True)
+            a_r = tv.intersect_any(g, o2, d2, tf)
+            assert np.array_equal(np.asarray(a_c), np.asarray(a_r))
+        finally:
+            tv._PK_MIN_PIXELS = old
+
     def test_full_frame_with_packets_matches(self, scene_geom):
         """A rendered frame with the packet paths forced on equals the
         per-ray frame (same RNG stream restored between renders; closest-t
