@@ -307,6 +307,15 @@ STACK_CM = _env_int("PTRT_STACK_CM", 0, 0, 1)
 # Node-path layout experiment: transpose the gathered (R, 64) node row and
 # slab-test in (8, R) orientation (same rationale as MT_CM/STACK_CM).
 NODE_CM = _env_int("PTRT_NODE_CM", 0, 0, 1)
+# Leaf-action schedule: with 2, each while step runs TWO sub-iterations —
+# node-only then full — so the leaf gather+MT block (3/4 of the body, part
+# D) is paid every OTHER iteration.  Leaf occupancy on scattered walks is
+# only 0.26 (part P): batching leaves roughly doubles the occupancy of
+# each paid leaf block at the cost of stalling pure-leaf lanes for one
+# sub-iteration.  Exact (pending leaf bits just ride the current entry /
+# stack); static structure, no lax.cond.  1 = every iteration (default
+# until TPU-measured).
+LEAF_EVERY = _env_int("PTRT_LEAF_EVERY", 1, 1, 2)
 
 # 0: pass 1 exits (or never runs) the moment the active count fits the tail
 # buffer — bounce-2+ and NEE walks start mostly-dead, and forcing even two
@@ -1113,7 +1122,7 @@ def _make_closest_body(geom, o, d, iota_d):
 
     pop = _pop_cur_cm if STACK_CM else _pop_cur
 
-    def body(s):
+    def body_full(s):
         st, k = s
         st = pop(st, iota_d)
         st = leaf_action(st)
@@ -1133,7 +1142,10 @@ def _make_closest_body(geom, o, d, iota_d):
                       cm=bool(STACK_CM))
         return st, k + 1
 
-    return body, body_node_only
+    if LEAF_EVERY == 2:
+        # paired body: node-only then full (see LEAF_EVERY)
+        return (lambda s: body_full(body_node_only(s))), body_node_only
+    return body_full, body_node_only
 
 
 def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
@@ -1198,7 +1210,7 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
 
         pop = _pop_cur_cm if STACK_CM else _pop_cur
 
-        def body(s):
+        def body_full(s):
             st, k = s
             st = pop(st, iota_d)
             st = leaf_action(st)
@@ -1214,7 +1226,9 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
                           cm=bool(STACK_CM))
             return _early_out(st), k + 1
 
-        return body, body_node
+        if LEAF_EVERY == 2:
+            return (lambda s: body_full(body_node(s))), body_node
+        return body_full, body_node
 
     def loop_fac(st, o_s, d_s, t_s, to_completion):
         b, bn = make_body(o_s, d_s, t_s)

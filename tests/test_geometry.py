@@ -196,6 +196,28 @@ class TestBVH:
                               np.asarray(h_cm.mesh_index))
         assert np.array_equal(np.asarray(a_rm), np.asarray(a_cm))
 
+    def test_leaf_every_2_exact(self, np_rng, monkeypatch):
+        """The paired node-only+full body (PTRT_LEAF_EVERY=2) must agree
+        with the per-iteration leaf schedule bit-for-bit."""
+        from ptrt_tpu.render import traverse as tv
+
+        meshes = [Mesh.sphere(14), Mesh.cube(), Mesh.plane_xz(-1.0, 4.0)]
+        geom = assemble_geometry(meshes)
+        n = tv.MIN_COMPACT_LANES + 2048
+        o = _vec(np_rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+                 + np.array([0, 0.2, 3], np.float32))
+        d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)))
+        h_a = intersect_closest(geom, o, d)
+        any_a = intersect_any(geom, o, d, jnp.full((n,), 8.0))
+        monkeypatch.setattr(tv, "LEAF_EVERY", 2)
+        h_b = intersect_closest(geom, o, d)
+        any_b = intersect_any(geom, o, d, jnp.full((n,), 8.0))
+        assert np.array_equal(np.asarray(h_a.hit), np.asarray(h_b.hit))
+        assert np.array_equal(np.asarray(h_a.t), np.asarray(h_b.t))
+        assert np.array_equal(np.asarray(h_a.mesh_index),
+                              np.asarray(h_b.mesh_index))
+        assert np.array_equal(np.asarray(any_a), np.asarray(any_b))
+
     def test_presplit_exact(self, np_rng, monkeypatch):
         """Build-time triangle pre-splitting (scene_geom._presplit_tris)
         must not change any intersection result — same surface, tighter

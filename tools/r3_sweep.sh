@@ -25,6 +25,8 @@ run PARTS=b PTRT_NODE_CM=1 python -u tools/prof_r3.py
 run PARTS=b PTRT_MT_CM=1 PTRT_STACK_CM=1 PTRT_NODE_CM=1 python -u tools/prof_r3.py
 run PARTS=q python -u tools/prof_r3.py
 run PARTS=q PTRT_MT_CM=1 PTRT_STACK_CM=1 PTRT_NODE_CM=1 python -u tools/prof_r3.py
+run PARTS=q PTRT_LEAF_EVERY=2 python -u tools/prof_r3.py
+run PARTS=b PTRT_LEAF_EVERY=2 python -u tools/prof_r3.py
 T=3600 run PARTS=l python -u tools/prof_r3.py
 T=3600 run python bench.py
 date | tee -a "$LOG"
