@@ -25,7 +25,7 @@ from ptrt_tpu.core.taa import taa_jitter
 from ptrt_tpu.core.vec import Vec3
 from ptrt_tpu.render.integrator import PathOutput, trace_path
 from ptrt_tpu.render.ray import RayBatch
-from ptrt_tpu.scene.camera import Camera, pixel_grid
+from ptrt_tpu.scene.camera import Camera
 
 
 class FrameBuffers(NamedTuple):
@@ -59,7 +59,8 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
                 rng_state, frame_index, width: int, height: int, spp: int,
                 max_depth: int, split: bool, use_brute: bool,
                 blue_noise_tbl, rr_enabled: bool = True,
-                rr_start: int = 2, camera_nee: bool = True) -> tuple:
+                rr_start: int = 2, camera_nee: bool = True,
+                tile=None) -> tuple:
     """``path_trace_kernel`` equivalent (``scene_kernels.cuh:120-194``).
 
     The reference's per-thread spp loop becomes an spp AXIS on the wavefront
@@ -68,9 +69,23 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
     (``prng.fold``) and its own TAA/blue-noise jitter, so the estimator
     matches the sequential loop statistically.
 
+    ``tile``: ``(y0, x0, full_h, full_w)`` — this call renders the
+    (height, width) tile whose top-left GLOBAL pixel is (y0, x0) of a
+    full_h x full_w frame (y0/x0 may be traced scalars).  Camera uv,
+    blue-noise lookups and per-pixel RNG salts all use GLOBAL pixel
+    coordinates, so a tiled render is bit-identical to the whole-frame
+    one — this is what makes the shard_mapped multi-chip trace exact
+    (parallel/sharding.py).
+
     Returns (rng_state, FrameBuffers).
     """
     ys, xs = jnp.mgrid[0:height, 0:width]
+    if tile is not None:
+        y0, x0, full_h, full_w = tile
+        ys = ys + y0
+        xs = xs + x0
+    else:
+        full_h, full_w = height, width
 
     batch = max(1, min(spp, MAX_WAVEFRONT_LANES // (width * height)))
 
@@ -84,7 +99,12 @@ def trace_frame(geom, materials, lights, n_lights: int, sky, camera: Camera,
                                  fidx[:, None, None])  # (sb, H, W)
         jitter_x = jx_t[:, None, None] + (bx - 0.5) * 0.25
         jitter_y = jy_t[:, None, None] + (by - 0.5) * 0.25
-        sg, tg = pixel_grid(width, height, 0.5 + jitter_x, 0.5 + jitter_y)
+        # GLOBAL pixel coords -> camera uv (bottom-up, scene_kernels.cuh
+        # :140-146); identical to pixel_grid() when tile is None
+        xf = xs.astype(jnp.float32)[None, :, :]
+        yf = ys.astype(jnp.float32)[None, :, :]
+        sg = (xf + 0.5 + jitter_x) / float(full_w)
+        tg = (yf + 0.5 + jitter_y) / float(full_h)
         sub = prng.fold(rng_state, s_idx[:, None, None] + 1)  # (sb, H, W)
         sub, ray = camera.get_ray(sg, tg, sub)
         _, out = trace_path(geom, materials, lights, n_lights, sky, ray,

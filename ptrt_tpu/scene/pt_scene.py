@@ -747,23 +747,51 @@ def _post_program(rw, rh, full_w, full_h, denoise, bloom,
 
 def _frame_fn(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
               n_lights, use_brute, has_env, rr_enabled=True, rr_start=2,
-              motion_vectors_on=True, camera_nee=True):
+              motion_vectors_on=True, camera_nee=True, mesh=None):
     """The raw (unjitted) one-frame pipeline body: trace -> MV -> SVGF ->
     bloom -> upscale -> tonemap.  ``_frame_program`` jits it standalone;
     fused game frames (games/fused.py) inline it after their step so
-    step+render compile as ONE XLA program."""
+    step+render compile as ONE XLA program.
+
+    With ``mesh`` (a pixel Mesh), the trace runs SHARD-LOCALLY via
+    ``parallel.sharding.shard_mapped_trace`` — each device traces its own
+    tile with its own compaction buffers (bit-identical results); the
+    denoiser/bloom stay global so their halo exchanges are the frame's
+    only cross-chip traffic."""
     from ptrt_tpu.render.denoiser import (DenoiserState, denoise_frame,
                                           init_denoiser_state)
     from ptrt_tpu.render.motion import motion_vectors
     from ptrt_tpu.render.bloom import apply_bloom
 
+    if mesh is not None:
+        from ptrt_tpu.parallel.sharding import shard_mapped_trace
+
+        dy, dx = mesh.devices.shape
+        sh_, sw_ = rh // dy, rw // dx
+
+        def trace_tile(rng_state, bn, geom, mats, lights, sky, camera,
+                       frame_idx, tile):
+            return pl.trace_frame(
+                geom, mats, lights, n_lights, sky, camera, rng_state,
+                frame_idx, sw_, sh_, spp, depth, split=denoise,
+                use_brute=use_brute, blue_noise_tbl=bn,
+                rr_enabled=rr_enabled, rr_start=rr_start,
+                camera_nee=camera_nee, tile=tile)
+
+        sharded_trace = shard_mapped_trace(mesh, rh, rw, trace_tile)
+
     def fn(geom, mats, lights, sky, camera, rng_state, frame_idx,
            prev_view_proj, den_state, bn):
-        rng_state, bufs = pl.trace_frame(
-            geom, mats, lights, n_lights, sky, camera, rng_state, frame_idx,
-            rw, rh, spp, depth, split=denoise, use_brute=use_brute,
-            blue_noise_tbl=bn, rr_enabled=rr_enabled, rr_start=rr_start,
-            camera_nee=camera_nee)
+        if mesh is not None:
+            rng_state, bufs = sharded_trace(rng_state, bn, geom, mats,
+                                            lights, sky, camera, frame_idx)
+        else:
+            rng_state, bufs = pl.trace_frame(
+                geom, mats, lights, n_lights, sky, camera, rng_state,
+                frame_idx, rw, rh, spp, depth, split=denoise,
+                use_brute=use_brute, blue_noise_tbl=bn,
+                rr_enabled=rr_enabled, rr_start=rr_start,
+                camera_nee=camera_nee)
 
         current = bufs.color
         if denoise:

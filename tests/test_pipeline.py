@@ -256,3 +256,44 @@ class TestMultichipCollectives:
         assert not bad, f"scene-table collective found:\n" + "\n".join(bad[:4])
         # the program IS sharded (some collective communication exists)
         assert re.search(r"collective-permute|all-reduce|all-gather", txt)
+
+    def test_shard_mapped_trace_is_collective_free(self):
+        """The canonical multi-chip trace (shard_mapped_trace): each device
+        traces its own tile with its own compaction buffers, so the
+        compiled trace contains NO all-gather/all-to-all at all (GSPMD on
+        the same program inserted 85 ray-state all-gathers,
+        tools/prof_mesh.py) — and the result is bit-identical to the
+        single-device frame."""
+        from ptrt_tpu.parallel.sharding import make_pixel_mesh, shard_pixels
+        from ptrt_tpu.scene.pt_scene import _frame_fn
+        from ptrt_tpu.scene.materials import Material
+        from ptrt_tpu.scene.pt_scene import Scene
+        from ptrt_tpu.render.denoiser import init_denoiser_state
+
+        mesh = make_pixel_mesh(8)
+        dy, dx = mesh.devices.shape
+        h, w = 16 * dy, 16 * dx
+        sc = Scene(w, h)
+        sc.add_plane_xz(-1.0, 6.0, Material.make((0.8, 0.8, 0.8), 0.7))
+        sc.add_sphere(18, Material.make((0.8, 0.2, 0.2), 0.5))
+        sc.add_point_light((2, 4, 2), (1, 1, 1), 3.0, radius=0.2)
+        sc.set_camera((0, 0.5, -2), (0, 0, 2), fov=60)
+        sc._ensure_device_state()
+        den0 = init_denoiser_state(h, w)
+        args = lambda r, d: (sc._geom, sc._mat_table, sc._light_table,
+                             sc._sky(), sc.camera, r, jnp.int32(1),
+                             sc.prev_view_proj, d, sc._blue_noise)
+        # trace-only (no denoiser) so the assertion isolates the trace
+        kw = dict(n_lights=len(sc.lights), use_brute=False,
+                  has_env=sc.env_map is not None)
+        body1 = _frame_fn(w, h, w, h, 1, 3, False, False, **kw)
+        img1, _, _ = jax.jit(lambda r, d: body1(*args(r, d)))(
+            sc._rng_state, den0)
+        body8 = _frame_fn(w, h, w, h, 1, 3, False, False, mesh=mesh, **kw)
+        rng8 = shard_pixels(mesh, sc._rng_state)
+        f8 = jax.jit(lambda r, d: body8(*args(r, d)))
+        img8, _, _ = f8(rng8, den0)
+        assert np.array_equal(np.asarray(img1), np.asarray(img8))
+        txt = f8.lower(rng8, den0).compile().as_text()
+        assert txt.count("all-gather(") == 0
+        assert txt.count("all-to-all") == 0
