@@ -341,10 +341,12 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         # fully-unrolled d6 program compiles in ~2 min) — chunking keeps the
         # trip count small (ceil(depth/8)) with a d<=8-sized body, so deep
         # presets (ultra d32, scene.cuh:1834-1842) compile like d8.
-        # PTRT_CHUNK tunes the compile-size/scheduler tradeoff per host.
-        CHUNK = int(_os.environ.get("PTRT_CHUNK", "8"))
-        if CHUNK < 1:
-            raise ValueError(f"PTRT_CHUNK must be >= 1, got {CHUNK}")
+        # PTRT_CHUNK tunes the compile-size/scheduler tradeoff per host
+        # (validated like every other PTRT_* knob: a huge value would
+        # unroll that many bounce bodies and hang XLA compilation)
+        from ptrt_tpu.geometry.bvh import _env_int
+
+        CHUNK = _env_int("PTRT_CHUNK", 8, 1, 64)
 
         def chunk_body(s):
             for _ in range(CHUNK):

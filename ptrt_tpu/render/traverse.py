@@ -782,15 +782,34 @@ _INST_WORD_BITS = 31  # avoid the int32 sign bit in mask words
 
 def _inst_hit_words(iset, o: Vec3, inv_d: Vec3, t, live) -> list:
     """Per-lane bitmask words of instances whose world AABB the ray enters
-    within t (the dense TLAS leaf test)."""
-    n_words = (iset.count + _INST_WORD_BITS - 1) // _INST_WORD_BITS
-    words = [jnp.zeros(jnp.shape(t), jnp.int32) for _ in range(n_words)]
-    for i in range(iset.count):
-        bmin = (iset.bb_min[i, 0], iset.bb_min[i, 1], iset.bb_min[i, 2])
-        bmax = (iset.bb_max[i, 0], iset.bb_max[i, 1], iset.bb_max[i, 2])
-        ok = _slab1(bmin, bmax, o, inv_d, t) & live
-        w, b = divmod(i, _INST_WORD_BITS)
-        words[w] = words[w] | jnp.where(ok, jnp.int32(1 << b), 0)
+    within t (the dense TLAS leaf test).
+
+    Batched per 31-instance word — a (R, 31) slab test + one bit-packed
+    reduction per word — so program size is O(words), not O(instances)
+    (a per-instance unrolled loop made the 192-slot fused tycoon's frame
+    program and per-walk slab work linear in instance count).  Word pad
+    slots carry inverted boxes and can never pass."""
+    B = _INST_WORD_BITS
+    n_words = (iset.count + B - 1) // B
+    pad = n_words * B - iset.count
+    bmin = jnp.pad(iset.bb_min, ((0, pad), (0, 0)), constant_values=1.0)
+    bmax = jnp.pad(iset.bb_max, ((0, pad), (0, 0)), constant_values=-1.0)
+    bits = jnp.asarray([1 << b for b in range(B)], jnp.int32)
+    oc = (o.x[..., None], o.y[..., None], o.z[..., None])
+    ic = (inv_d.x[..., None], inv_d.y[..., None], inv_d.z[..., None])
+    words = []
+    for wi in range(n_words):
+        lo = bmin[wi * B:(wi + 1) * B]  # (B, 3)
+        hi = bmax[wi * B:(wi + 1) * B]
+        t_enter = jnp.zeros(jnp.shape(t) + (B,), jnp.float32)
+        t_exit = jnp.broadcast_to(t[..., None], jnp.shape(t) + (B,))
+        for a in range(3):
+            t0 = (lo[None, :, a] - oc[a]) * ic[a]
+            t1 = (hi[None, :, a] - oc[a]) * ic[a]
+            t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
+            t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+        ok = (t_enter <= t_exit) & live[..., None]
+        words.append(jnp.sum(jnp.where(ok, bits[None, :], 0), axis=-1))
     return words
 
 
@@ -970,16 +989,15 @@ _PKC_TW = 4
 _PKC_HANDOFF_SHRINK = _env_int("PTRT_PKC_HANDOFF_SHRINK", 16, 2, 256)
 
 
-def _packet_closest_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> dict:
-    """Closest-hit HEAD over a (..., H, W) pixel-grid wavefront via
-    4x4-tile packets; returns {t, best, unfinished} FLATTENED back to the
-    wavefront's own lane order.  ``unfinished`` marks rays whose packet
-    still had pending work at handoff — the caller must finish them with
-    the per-ray walk (t already tightened)."""
+def _grid_packet_ctx(shape, th: int, tw: int):
+    """Shared pack/pad/crop helpers for the pixel-grid packet dispatchers:
+    ``prep`` broadcasts a (..., H, W) array to packets of th*tw rays
+    (padding partial tiles with a fill value); ``unprep`` inverts it back
+    to ``shape``.  One implementation for both the closest and any-hit
+    paths so their padding/tiling semantics cannot diverge."""
     from ptrt_tpu.render import packet as pk
 
     h, w = shape[-2], shape[-1]
-    th, tw = _PKC_TH, _PKC_TW
     ph, pw = -(-h // th) * th, -(-w // tw) * tw
     nlead = 1
     for sdim in shape[:-2]:
@@ -996,7 +1014,21 @@ def _packet_closest_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> dict:
     def unprep(a):
         a = a.reshape((nlead, (ph // th) * (pw // tw), th * tw))
         a = pk.packets_to_tile(a, ph, pw, th, tw)
-        return a[:, :h, :w].reshape(shape).reshape(-1)
+        return a[:, :h, :w].reshape(shape)
+
+    return prep, unprep
+
+
+def _packet_closest_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> dict:
+    """Closest-hit HEAD over a (..., H, W) pixel-grid wavefront via
+    4x4-tile packets; returns {t, best, unfinished} FLATTENED back to the
+    wavefront's own lane order.  ``unfinished`` marks rays whose packet
+    still had pending work at handoff — the caller must finish them with
+    the per-ray walk (t already tightened)."""
+    from ptrt_tpu.render import packet as pk
+
+    prep, unprep_g = _grid_packet_ctx(shape, _PKC_TH, _PKC_TW)
+    unprep = lambda a: unprep_g(a).reshape(-1)
 
     t_p = prep(jnp.asarray(t_max, jnp.float32), -1.0)
     s, unfin = pk.packet_closest_partial(
@@ -1277,30 +1309,10 @@ def _packet_any_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> jnp.ndarray:
     rays never hit and are cropped away."""
     from ptrt_tpu.render import packet as pk
 
-    h, w = shape[-2], shape[-1]
-    th, tw = _PK_TH, _PK_TW
-    ph, pw = -(-h // th) * th, -(-w // tw) * tw
-    nlead = 1
-    for sdim in shape[:-2]:
-        nlead *= sdim
-
-    def prep(a, fill):
-        a = jnp.broadcast_to(a, shape).reshape((nlead, h, w))
-        if (ph, pw) != (h, w):
-            a = jnp.pad(a, ((0, 0), (0, ph - h), (0, pw - w)),
-                        constant_values=fill)
-        a = pk.tile_to_packets(a, ph, pw, th, tw)
-        return a.reshape((nlead * (ph // th) * (pw // tw), th * tw))
-
+    prep, unprep = _grid_packet_ctx(shape, _PK_TH, _PK_TW)
     o_p = o.map(lambda c: prep(c, 0.0))
     d_p = d.map(lambda c: prep(c, 1.0))
     t_p = prep(jnp.asarray(t_max, jnp.float32), -1.0)
-
-    def unprep(a):
-        a = a.reshape((nlead, ph // th, pw // tw, th * tw))
-        a = pk.packets_to_tile(a.reshape((nlead, -1, th * tw)), ph, pw,
-                               th, tw)
-        return a[:, :h, :w].reshape(shape)
 
     if _PKA_HANDOFF_SHRINK:
         # packet HEAD + per-ray tail: rays of unfinished packets that are

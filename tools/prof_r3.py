@@ -136,7 +136,7 @@ def part_c(sc, R=2_200_000):
     state = tv._init_walk_state(R, g.stack_depth, jnp.ones((R,), bool),
                                 ordered=True)
     state.update(t=jnp.full((R,), 1e30), best=jnp.full((R,), -1, jnp.int32))
-    body = tv._make_closest_body(g, o, d, iota_d)
+    body, _ = tv._make_closest_body(g, o, d, iota_d)
 
     step = jax.jit(lambda s: body((s, jnp.int32(0)))[0])
     count = jax.jit(lambda s: jnp.sum(tv._active(s).astype(jnp.int32)))
@@ -223,7 +223,7 @@ def part_d(sc, R=2_200_000):
     state = tv._init_walk_state(R, g.stack_depth, jnp.ones((R,), bool),
                                 ordered=True)
     state.update(t=jnp.full((R,), 1e30), best=jnp.full((R,), -1, jnp.int32))
-    body = tv._make_closest_body(g, o, d, iota_d)
+    body, _ = tv._make_closest_body(g, o, d, iota_d)
     step = jax.jit(lambda s: body((s, jnp.int32(0)))[0])
     # advance two steps so masks/stacks are in a generic configuration
     s2 = step(step(state))
