@@ -257,6 +257,42 @@ class TestMultichipCollectives:
         # the program IS sharded (some collective communication exists)
         assert re.search(r"collective-permute|all-reduce|all-gather", txt)
 
+    def test_tiled_trace_equals_whole_frame(self):
+        """trace_frame(tile=...) must be bit-identical to the whole-frame
+        render on every tile: camera uv, blue noise and RNG salts all key
+        off GLOBAL pixel coordinates (the invariant shard_mapped_trace
+        relies on)."""
+        import ptrt_tpu.render.pipeline as pl
+        from ptrt_tpu.scene.materials import Material
+        from ptrt_tpu.scene.pt_scene import Scene
+
+        h, w = 32, 64
+        sc = Scene(w, h)
+        sc.add_plane_xz(-1.0, 6.0, Material.make((0.8, 0.8, 0.8), 0.7))
+        sc.add_sphere(12, Material.make((0.8, 0.2, 0.2), 0.5))
+        sc.add_point_light((2, 4, 2), (1, 1, 1), 3.0, radius=0.2)
+        sc.set_camera((0, 0.5, -2), (0, 0, 2), fov=60)
+        sc._ensure_device_state()
+        common = (sc._geom, sc._mat_table, sc._light_table, len(sc.lights),
+                  sc._sky(), sc.camera)
+
+        _, full = pl.trace_frame(*common, sc._rng_state, jnp.int32(0), w, h,
+                                 2, 3, split=False, use_brute=False,
+                                 blue_noise_tbl=sc._blue_noise)
+        th, tw = h // 2, w // 2
+        for y0 in (0, th):
+            for x0 in (0, tw):
+                rng_tile = sc._rng_state[y0:y0 + th, x0:x0 + tw]
+                _, bufs = pl.trace_frame(
+                    *common, rng_tile, jnp.int32(0), tw, th, 2, 3,
+                    split=False, use_brute=False,
+                    blue_noise_tbl=sc._blue_noise,
+                    tile=(jnp.int32(y0), jnp.int32(x0), h, w))
+                ref = np.asarray(full.color.x)[y0:y0 + th, x0:x0 + tw]
+                assert np.array_equal(np.asarray(bufs.color.x), ref)
+                refd = np.asarray(full.depth)[y0:y0 + th, x0:x0 + tw]
+                assert np.array_equal(np.asarray(bufs.depth), refd)
+
     def test_shard_mapped_trace_is_collective_free(self):
         """The canonical multi-chip trace (shard_mapped_trace): each device
         traces its own tile with its own compaction buffers, so the
