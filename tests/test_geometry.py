@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from ptrt_tpu.core.vec import Vec3, normalize
 from ptrt_tpu.geometry.bvh import build_bvh
@@ -245,6 +246,37 @@ class TestBVH:
         tm = jnp.full((n,), 10.0)
         assert np.array_equal(np.asarray(intersect_any(g_ref, o, d, tm)),
                               np.asarray(intersect_any(g_split, o, d, tm)))
+
+    @pytest.mark.parametrize("seed", [7, 19, 23])
+    def test_fuzz_bvh_vs_brute(self, seed):
+        """Seeded fuzz: random triangle soups (including degenerate and
+        axis-aligned triangles) and adversarial rays (axis-parallel
+        directions, origins inside the soup) must agree with brute force."""
+        rng = np.random.default_rng(seed)
+        n_tri = 400
+        v0 = rng.uniform(-3, 3, (n_tri, 3)).astype(np.float32)
+        e = rng.normal(0, 0.7, (n_tri, 2, 3)).astype(np.float32)
+        e[: n_tri // 8, 1] = 0.0  # degenerate (zero-area) triangles
+        e[n_tri // 8: n_tri // 4, :, 2] = 0.0  # axis-aligned planar tris
+        tris = np.stack([v0, v0 + e[:, 0], v0 + e[:, 1]], axis=1)
+        m = Mesh.from_triangles(tris)
+        geom = assemble_geometry([m])
+
+        n = 1024
+        o = _vec(rng.uniform(-4, 4, (n, 3)).astype(np.float32))
+        d_raw = rng.normal(size=(n, 3)).astype(np.float32)
+        d_raw[: n // 8] = np.array([1, 0, 0], np.float32)  # axis-parallel
+        d_raw[n // 8: n // 4] = np.array([0, 0, -1], np.float32)
+        d = normalize(_vec(d_raw))
+        hb = intersect_closest_brute(geom, o, d)
+        ht = intersect_closest(geom, o, d)
+        assert np.array_equal(np.asarray(hb.hit), np.asarray(ht.hit))
+        mhit = np.asarray(hb.hit)
+        assert np.allclose(np.asarray(hb.t)[mhit], np.asarray(ht.t)[mhit],
+                           rtol=1e-4)
+        tm = jnp.full((n,), 6.0)
+        assert np.array_equal(np.asarray(intersect_any_brute(geom, o, d, tm)),
+                              np.asarray(intersect_any(geom, o, d, tm)))
 
     def test_shadow_skips_transmissive(self):
         # glass cube between origin and light must not occlude
