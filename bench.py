@@ -27,7 +27,27 @@ import numpy as np  # noqa: E402
 
 
 def main() -> None:
+    # Watchdog: if the device backend never comes up (e.g. the axon TPU
+    # tunnel is down, jax.devices() blocks forever inside the PJRT dial
+    # loop), emit an honest error line instead of hanging the driver.
+    # A thread (not SIGALRM) because the block is inside a C call.
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(900):
+            print(json.dumps({
+                "metric": "Mrays/s (BENCH FAILED: device backend init "
+                          "timed out after 900s — TPU tunnel down?)",
+                "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+                "extra": {"error": "backend_init_timeout"},
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    init_done.set()
     # Default: the BASELINE interactive config at reference scale — 1080p,
     # 4 spp, depth 4 on the ~1M-triangle showcase stand-in.  Compile through
     # the dev tunnel can take minutes cold (the persistent cache makes
