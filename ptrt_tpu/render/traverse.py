@@ -307,15 +307,19 @@ STACK_CM = _env_int("PTRT_STACK_CM", 0, 0, 1)
 # Node-path layout experiment: transpose the gathered (R, 64) node row and
 # slab-test in (8, R) orientation (same rationale as MT_CM/STACK_CM).
 NODE_CM = _env_int("PTRT_NODE_CM", 0, 0, 1)
-# Leaf-action schedule: with 2, each while step runs TWO sub-iterations —
-# node-only then full — so the leaf gather+MT block (3/4 of the body, part
-# D) is paid every OTHER iteration.  Leaf occupancy on scattered walks is
-# only 0.26 (part P): batching leaves roughly doubles the occupancy of
-# each paid leaf block at the cost of stalling pure-leaf lanes for one
-# sub-iteration.  Exact (pending leaf bits just ride the current entry /
-# stack); static structure, no lax.cond.  1 = every iteration (default
-# until TPU-measured).
-LEAF_EVERY = _env_int("PTRT_LEAF_EVERY", 1, 1, 2)
+# Leaf-action schedule: with N, each while step runs N sub-iterations —
+# N-1 node-only, then one full — so the leaf gather+MT block (3/4 of the
+# body, part D) is paid every Nth iteration.  Leaf occupancy on scattered
+# walks is only 0.26 (part P): batching leaves raises the occupancy of
+# each paid leaf block at the cost of stalling pure-leaf lanes for up to
+# N-1 sub-iterations.  Exact (pending leaf bits just ride the current
+# entry / stack); static structure, no lax.cond.  Separate knobs per walk
+# type: CLOSEST walks only lose some t-tightening order and win big (TPU
+# part Q: camera-profile bounce closest 337.8 -> 172.0 ms at N=2); ANY
+# walks terminate on the FIRST leaf hit, so delaying leaves delays the
+# early-out — keep 1 unless measured otherwise.
+LEAF_EVERY = _env_int("PTRT_LEAF_EVERY", 1, 1, 8)
+ANY_LEAF_EVERY = _env_int("PTRT_ANY_LEAF_EVERY", 1, 1, 8)
 
 # 0: pass 1 exits (or never runs) the moment the active count fits the tail
 # buffer — bounce-2+ and NEE walks start mostly-dead, and forcing even two
@@ -1174,9 +1178,14 @@ def _make_closest_body(geom, o, d, iota_d):
                       cm=bool(STACK_CM))
         return st, k + 1
 
-    if LEAF_EVERY == 2:
-        # paired body: node-only then full (see LEAF_EVERY)
-        return (lambda s: body_full(body_node_only(s))), body_node_only
+    if LEAF_EVERY > 1:
+        # composed body: LEAF_EVERY-1 node-only sub-iterations, then full
+        # (see LEAF_EVERY)
+        def body_composed(s):
+            for _ in range(LEAF_EVERY - 1):
+                s = body_node_only(s)
+            return body_full(s)
+        return body_composed, body_node_only
     return body_full, body_node_only
 
 
@@ -1258,8 +1267,12 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
                           cm=bool(STACK_CM))
             return _early_out(st), k + 1
 
-        if LEAF_EVERY == 2:
-            return (lambda s: body_full(body_node(s))), body_node
+        if ANY_LEAF_EVERY > 1:
+            def body_composed(s):
+                for _ in range(ANY_LEAF_EVERY - 1):
+                    s = body_node(s)
+                return body_full(s)
+            return body_composed, body_node
         return body_full, body_node
 
     def loop_fac(st, o_s, d_s, t_s, to_completion):

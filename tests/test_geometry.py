@@ -197,9 +197,11 @@ class TestBVH:
                               np.asarray(h_cm.mesh_index))
         assert np.array_equal(np.asarray(a_rm), np.asarray(a_cm))
 
-    def test_leaf_every_2_exact(self, np_rng, monkeypatch):
-        """The paired node-only+full body (PTRT_LEAF_EVERY=2) must agree
-        with the per-iteration leaf schedule bit-for-bit."""
+    @pytest.mark.parametrize("closest_n,any_n", [(2, 1), (3, 2)])
+    def test_leaf_every_exact(self, np_rng, monkeypatch, closest_n, any_n):
+        """The composed node-only*(N-1)+full body (PTRT_LEAF_EVERY /
+        PTRT_ANY_LEAF_EVERY) must agree with the per-iteration leaf
+        schedule bit-for-bit, for both walk types."""
         from ptrt_tpu.render import traverse as tv
 
         meshes = [Mesh.sphere(14), Mesh.cube(), Mesh.plane_xz(-1.0, 4.0)]
@@ -210,7 +212,8 @@ class TestBVH:
         d = normalize(_vec(np_rng.normal(size=(n, 3)).astype(np.float32)))
         h_a = intersect_closest(geom, o, d)
         any_a = intersect_any(geom, o, d, jnp.full((n,), 8.0))
-        monkeypatch.setattr(tv, "LEAF_EVERY", 2)
+        monkeypatch.setattr(tv, "LEAF_EVERY", closest_n)
+        monkeypatch.setattr(tv, "ANY_LEAF_EVERY", any_n)
         h_b = intersect_closest(geom, o, d)
         any_b = intersect_any(geom, o, d, jnp.full((n,), 8.0))
         assert np.array_equal(np.asarray(h_a.hit), np.asarray(h_b.hit))

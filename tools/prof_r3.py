@@ -180,7 +180,7 @@ def _main():
         part_f(R)
     if "o" in which:
         part_o(R)
-    if set(which) & set("bcdeghijklmnpq"):
+    if set(which) & set("bcdeghijklmnpqs"):
         sc = build_bench_scene(1920, 1080, target_tris=tris)
         sc._ensure_device_state()
         if "b" in which:
@@ -207,6 +207,8 @@ def _main():
             part_m(sc)
         if "n" in which:
             part_n(sc)
+        if "s" in which:
+            part_s(sc)
         if "p" in which:
             part_p(sc, R=int(os.environ.get("RP", "0")) or None)
         if "q" in which:
@@ -796,6 +798,106 @@ def part_n(sc):
         return jnp.take(rows, perm, axis=0)
     ms_p = timeit(jax.jit(just_perm), oo, dd, t0, reps=5) * 1e3
     print(f"  (sort + row-permute overhead alone: {ms_p:6.1f} ms)")
+
+
+def part_s(sc):
+    """Rebinned packet ANY-hit for scattered-NEE shadow rays: bounce-hit
+    origins all aim at the SAME light, so direction coherence is free and
+    origin-Morton binning recovers spatial coherence — if the packet any
+    walk (6.8x on pixel-tile shadow rays) survives rebinned packets, the
+    per-bounce NEE any walk (~half the scattered-bounce cost, part L)
+    inherits it."""
+    from ptrt_tpu.render import packet as pk
+
+    geom = sc._geom
+    g = geom.static if hasattr(geom, "static") else geom
+    h, w = 1080, 1920
+    R = h * w
+    o, d = _camera_rays(sc, R)
+    hitp = tv.intersect_closest(g, o, d)
+    rng = np.random.default_rng(3)
+    rnd = normalize(Vec3(*[jnp.asarray(rng.normal(size=R).astype(np.float32))
+                           for _ in range(3)]))
+    n = hitp.normal
+    # one diffuse bounce first, so origins look like bounce-1 NEE sites
+    dd = normalize(Vec3(n.x + 0.9 * rnd.x, n.y + 0.9 * rnd.y,
+                        n.z + 0.9 * rnd.z))
+    oo = Vec3(hitp.point.x + n.x * 1e-3, hitp.point.y + n.y * 1e-3,
+              hitp.point.z + n.z * 1e-3)
+    hit1 = tv.intersect_closest(g, oo, dd, jnp.where(hitp.hit, 1e30, -1.0),
+                                scattered=True)
+    live = hit1.hit
+    p1 = hit1.point
+    o2 = Vec3(p1.x + hit1.normal.x * 1e-3, p1.y + hit1.normal.y * 1e-3,
+              p1.z + hit1.normal.z * 1e-3)
+    lp = Vec3(jnp.float32(0.0), jnp.float32(6.5), jnp.float32(6.0))
+    to_l = Vec3(lp.x - o2.x, lp.y - o2.y, lp.z - o2.z)
+    dist = jnp.sqrt(jnp.maximum(to_l.dot(to_l), 1e-12))
+    ds = Vec3(to_l.x / dist, to_l.y / dist, to_l.z / dist)
+    tf = jnp.where(live, dist * 0.999, -1.0)
+    print(f"-- S: rebinned packet any on bounce-1 NEE shadow rays, R={R}, "
+          f"live={float(jnp.mean(live)):.2f} --")
+    for name, scat in (("camera", False), ("ladder", True)):
+        f = jax.jit(lambda O, D, T, s=scat: tv.intersect_any(g, O, D, T,
+                                                             scattered=s))
+        ms = timeit(f, o2, ds, tf, reps=5) * 1e3
+        print(f"  per-ray any ({name}):  {ms:8.1f} ms", flush=True)
+        if not scat:
+            ref = np.asarray(f(o2, ds, tf))
+            ms_ray = ms
+
+    def morton7(x, lo, inv):
+        q = jnp.clip(((x - lo) * inv * 127.0).astype(jnp.int32), 0, 127)
+        out = jnp.zeros_like(q)
+        for b in range(7):
+            out = out | (((q >> b) & 1) << (3 * b))
+        return out
+
+    def make_key(O, D, T):
+        oct_ = tv._ray_octant(D)
+        lo = Vec3(*[jnp.min(jnp.where(T > 0, c, jnp.inf))
+                    for c in (O.x, O.y, O.z)])
+        hi = Vec3(*[jnp.max(jnp.where(T > 0, c, -jnp.inf))
+                    for c in (O.x, O.y, O.z)])
+        inv = [1.0 / jnp.maximum(h_ - l_, 1e-6)
+               for l_, h_ in ((lo.x, hi.x), (lo.y, hi.y), (lo.z, hi.z))]
+        m = (morton7(O.x, lo.x, inv[0])
+             | (morton7(O.y, lo.y, inv[1]) << 1)
+             | (morton7(O.z, lo.z, inv[2]) << 2))
+        key = (oct_ << 21) | m
+        return jnp.where(T > 0, key, jnp.int32(0x7FFFFFF0))
+
+    for P in (16, 64):
+        def rebinned(O, D, T, P=P):
+            key = make_key(O, D, T)
+            _, perm = jax.lax.sort_key_val(
+                key, jnp.arange(R, dtype=jnp.int32))
+            rows = jnp.stack([O.x, O.y, O.z, D.x, D.y, D.z, T,
+                              jnp.zeros((R,), jnp.float32)], axis=1)
+            srt = jnp.take(rows, perm, axis=0)
+            Os = Vec3(srt[:, 0].reshape(-1, P), srt[:, 1].reshape(-1, P),
+                      srt[:, 2].reshape(-1, P))
+            Ds = Vec3(srt[:, 3].reshape(-1, P), srt[:, 4].reshape(-1, P),
+                      srt[:, 5].reshape(-1, P))
+            Ts = srt[:, 6].reshape(-1, P)
+            hit_p, unfin = pk.packet_any_partial(g, Os, Ds, Ts, shrink=16)
+            hit_f = hit_p.reshape(-1)
+            un_rays = (jnp.broadcast_to(unfin[:, None], Ts.shape)
+                       .reshape(-1) & (Ts.reshape(-1) > 0)
+                       & jnp.logical_not(hit_f))
+            t_tail = jnp.where(un_rays, Ts.reshape(-1), -1.0)
+            tail = tv._any_state(g, Os.map(lambda c: c.reshape(-1)),
+                                 Ds.map(lambda c: c.reshape(-1)), t_tail,
+                                 scattered=True, skip_pass1=True)
+            hit_m = hit_f | (tail & un_rays)
+            return jnp.zeros((R,), bool).at[perm].set(hit_m)
+
+        f_rb = jax.jit(rebinned)
+        ms_rb = timeit(f_rb, o2, ds, tf, reps=5) * 1e3
+        got = np.asarray(f_rb(o2, ds, tf))
+        mism = (got != ref).mean()
+        print(f"  rebinned P={P:3d}:      {ms_rb:8.1f} ms "
+              f"({ms_ray/ms_rb:4.1f}x)  mismatch {mism:.2e}", flush=True)
 
 
 def part_p(sc, R=None):
