@@ -313,13 +313,19 @@ NODE_CM = _env_int("PTRT_NODE_CM", 0, 0, 1)
 # walks is only 0.26 (part P): batching leaves raises the occupancy of
 # each paid leaf block at the cost of stalling pure-leaf lanes for up to
 # N-1 sub-iterations.  Exact (pending leaf bits just ride the current
-# entry / stack); static structure, no lax.cond.  Separate knobs per walk
-# type: CLOSEST walks only lose some t-tightening order and win big (TPU
-# part Q: camera-profile bounce closest 337.8 -> 172.0 ms at N=2); ANY
-# walks terminate on the FIRST leaf hit, so delaying leaves delays the
-# early-out — keep 1 unless measured otherwise.
-LEAF_EVERY = _env_int("PTRT_LEAF_EVERY", 1, 1, 8)
-ANY_LEAF_EVERY = _env_int("PTRT_ANY_LEAF_EVERY", 1, 1, 8)
+# entry / stack); static structure, no lax.cond.  TPU sweep
+# (tools/sweep_leaf.py, 1M-tri scene, 2.07M bounce-1 rays, 0.61 live):
+# closest 337.0 / 171.7 / 164.0 / 185.2 ms at N=1/2/3/4 — N=3 is 2.05x
+# (and 273 -> 207.5 ms on coherent camera rays, so closest defaults to 3
+# for BOTH profiles).  ANY walks terminate on the first leaf hit, so
+# delaying leaves delays the early-out: on COHERENT camera any rays N=3
+# is 3.4x WORSE (64 -> 215.5 ms — occluders are found in the first leaf),
+# while on scattered NEE wavefronts the node-only sub-iterations win
+# (99.7 / 95.8 / 90.6 ms at N=1/2/3; 62.9 with the 16x2 ladder).  The
+# any-walk schedule is therefore per-profile: scattered 3, coherent 1.
+LEAF_EVERY = _env_int("PTRT_LEAF_EVERY", 3, 1, 8)
+ANY_LEAF_EVERY = _env_int("PTRT_ANY_LEAF_EVERY", 3, 1, 8)
+ANY_LEAF_EVERY_COH = _env_int("PTRT_ANY_LEAF_EVERY_COH", 1, 1, 8)
 
 # 0: pass 1 exits (or never runs) the moment the active count fits the tail
 # buffer — bounce-2+ and NEE walks start mostly-dead, and forcing even two
@@ -339,19 +345,23 @@ ANY_COMPACT_STAGES = _env_int("PTRT_ANY_STAGES", 1, 1, 8)
 BIG_COMPACT_SHRINK = _env_int("PTRT_BIG_SHRINK", 12, 2, 256)
 BIG_COMPACT_LANES = 1_000_000
 MIN_COMPACT_LANES = 16384
-# SCATTERED walks (bounce>=1 closest, bounce/env NEE any): lock-step
-# activity collapses within a few iterations — measured on the 1M-tri
-# bench scene (tools/prof_r3.py part P, frame-strided bounce-1 rays,
-# 0.61 live): act/R averages 0.12 over the first 5 iterations and
-# sum(active)/R = 0.96, i.e. ~1.6 iterations of useful work per live
-# lane, while the camera-tuned profile grinds ~6 near-full-width
-# iterations before its first compaction.  These walks ladder down
-# aggressively instead: smaller shrink per stage, more stages — each
-# stage exits the moment the active set fits the next buffer
-# (PASS_MIN_ITERS=0), so wide stages cost ~1 iteration each.
-SCATTER_SHRINK = _env_int("PTRT_SCATTER_SHRINK", 4, 2, 256)
-SCATTER_STAGES = _env_int("PTRT_SCATTER_STAGES", 4, 1, 12)
-ANY_SCATTER_SHRINK = _env_int("PTRT_ANY_SCATTER_SHRINK", 4, 2, 256)
+# SCATTERED walks (bounce>=1 closest, bounce/env NEE any): the active
+# set is fractional from the start (bounce-1: 0.61 live; bounce-3: <0.1)
+# and collapses within a few iterations.  The aggressive 4-wide ladder
+# this knob shipped with (shrink 4 x 4 stages) measured 1.5-4.8x WORSE
+# than the winners on TPU — each narrow stage re-pays the full
+# scatter/compact machinery while the per-iteration saving is small
+# (tools/sweep_leaf.py, sweep_leaf2.py: bounce-1 closest 252.9 vs 164
+# ms; bounce-2-dead any 233.0 vs 48.3 ms).  Winners: CLOSEST scattered
+# uses the camera profile unchanged (bounce-1: camera 164 vs 16x2
+# ladder 192.8; bounce-2-dead: 65.5 vs 55.4 — a wash dominated by the
+# live bounce-1 walk), selected by SCATTER_SHRINK=0 (auto).  ANY
+# scattered keeps a real ladder at 16x2 (bounce-1: 62.9 vs camera 90.6;
+# bounce-2-dead: 48.3 vs 78.5).  PASS_MIN_ITERS=0 still lets every
+# stage exit the moment the active set fits the next buffer.
+SCATTER_SHRINK = _env_int("PTRT_SCATTER_SHRINK", 0, 0, 256)
+SCATTER_STAGES = _env_int("PTRT_SCATTER_STAGES", 2, 1, 12)
+ANY_SCATTER_SHRINK = _env_int("PTRT_ANY_SCATTER_SHRINK", 16, 2, 256)
 ANY_SCATTER_STAGES = _env_int("PTRT_ANY_SCATTER_STAGES", 2, 1, 12)
 
 
@@ -684,9 +694,11 @@ def _walk_closest_raw(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
     else:
         state["base_i"] = roots
 
-    if scattered:
+    if scattered and SCATTER_SHRINK:
         shrink, stages = SCATTER_SHRINK, SCATTER_STAGES
     else:
+        # SCATTER_SHRINK=0 (default): scattered closest walks use the
+        # camera profile — measured best on live bounce-1 wavefronts
         shrink = (BIG_COMPACT_SHRINK if total >= BIG_COMPACT_LANES
                   else COMPACT_SHRINK)
         stages = COMPACT_STAGES
@@ -1049,10 +1061,13 @@ def _hybrid_closest_state(gs, o: Vec3, d: Vec3, t0, raw_pk: dict) -> dict:
     t_restart = jnp.where(raw_pk["unfinished"] & (t0 > 0.0),
                           raw_pk["t"], -1.0)
     # the tail front is mostly dead BY CONSTRUCTION (unfinished packets fit
-    # a 1/_PKC_HANDOFF_SHRINK >= 1/SCATTER_SHRINK buffer): the ladder
-    # profile applies and the full-width pass is elided outright
+    # a 1/_PKC_HANDOFF_SHRINK buffer): the full-width pass is elided
+    # outright whenever that structural bound covers the walk's first
+    # compacted stage (effective shrink: camera selection when
+    # SCATTER_SHRINK=0 auto, see _walk_closest_raw)
+    eff_shrink = SCATTER_SHRINK or max(BIG_COMPACT_SHRINK, COMPACT_SHRINK)
     s_ray = _walk_closest_raw(gs, o, d, t_restart, scattered=True,
-                              skip_pass1=_PKC_HANDOFF_SHRINK >= SCATTER_SHRINK)
+                              skip_pass1=_PKC_HANDOFF_SHRINK >= eff_shrink)
     closer = s_ray["best"] >= 0
     return _reconstruct_hit(gs, o, d, {
         "t": jnp.where(closer, s_ray["t"], raw_pk["t"]),
@@ -1199,8 +1214,12 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
     with a STRUCTURAL live-count bound <= total/shrink."""
     if scattered:
         a_shrink, a_stages = ANY_SCATTER_SHRINK, ANY_SCATTER_STAGES
+        leaf_n = ANY_LEAF_EVERY
     else:
         a_shrink, a_stages = ANY_COMPACT_SHRINK, ANY_COMPACT_STAGES
+        # coherent any rays find occluders in their FIRST leaf — delaying
+        # leaf tests delays the early-out 3.4x (see ANY_LEAF_EVERY)
+        leaf_n = ANY_LEAF_EVERY_COH
     total = jnp.size(t_f)
     depth = geom.stack_depth
     iota_d = jnp.arange(depth, dtype=jnp.int32)
@@ -1267,9 +1286,9 @@ def _any_state(geom: SceneGeometry, o: Vec3, d: Vec3, t_f,
                           cm=bool(STACK_CM))
             return _early_out(st), k + 1
 
-        if ANY_LEAF_EVERY > 1:
+        if leaf_n > 1:
             def body_composed(s):
-                for _ in range(ANY_LEAF_EVERY - 1):
+                for _ in range(leaf_n - 1):
                     s = body_node(s)
                 return body_full(s)
             return body_composed, body_node
