@@ -20,8 +20,9 @@ packed ``(base << 8) | pending_bitmask`` integer per stack entry.
 
 Node rows are packed 64 floats wide for one-gather fetches:
 ``[0:8]=bmin_x  [8:16]=bmin_y [16:24]=bmin_z [24:32]=bmax_x [32:40]=bmax_y
-[40:48]=bmax_z [48]=bitcast(child_base - leaf_count) [49]=bitcast(leaf_base)
-[50]=bitcast(leaf_mask) [51]=bitcast(int_mask) [52:64]=pad`` — empty slots
+[40:48]=bmax_z [48]=float(child_base - leaf_count) [49]=float(leaf_base)
+[50]=float(leaf_mask) [51]=float(int_mask) [52:64]=pad`` — metadata ints
+are exact small-float VALUES (< 2^24), not bit patterns — empty slots
 carry inverted AABBs that can never be hit.
 """
 
@@ -170,7 +171,7 @@ def pack_node_rows(b: FlatBVH8) -> np.ndarray:
     plus octant-ordered child visit orders in cols 52:60).
 
     Cols ``52+o`` (o = ray octant, bit a set when ray.d[a] < 0) hold a
-    bitcast i32 packing eight 3-bit slot ids, sorted by child-centroid
+    float-encoded i24 packing eight 3-bit slot ids, sorted by child-centroid
     projection along the octant direction — the traversal visits pending
     children in this order, so the closest child is descended FIRST and its
     hit tightens t before farther children are tested (the wide-BVH analog
@@ -187,10 +188,18 @@ def pack_node_rows(b: FlatBVH8) -> np.ndarray:
     lmask = ((1 << b.leaf_count.astype(np.int64)) - 1).astype(np.int32)
     fullm = ((1 << (b.leaf_count + b.int_count).astype(np.int64)) - 1)
     imask = (fullm.astype(np.int32)) ^ lmask
-    rows[:, 48] = cba.view(np.float32)
-    rows[:, 49] = b.leaf_base.view(np.float32)
-    rows[:, 50] = lmask.view(np.float32)
-    rows[:, 51] = imask.view(np.float32)
+    # metadata ints are stored as exact small-FLOAT VALUES (all < 2^24),
+    # NOT as bitcast bit patterns: int bit patterns are denormal floats,
+    # and TPU fusions flush denormal f32 loads to zero when the table
+    # rides a jitted program as an ARGUMENT (measured: the dense root
+    # seed read masks of 0 and every in-frame walk died at the root,
+    # while closed-over tables were constant-folded before fusion and
+    # survived).  Readers convert with .astype(int32), which is exact
+    # for |v| < 2^24.
+    rows[:, 48] = cba.astype(np.float32)
+    rows[:, 49] = b.leaf_base.astype(np.float32)
+    rows[:, 50] = lmask.astype(np.float32)
+    rows[:, 51] = imask.astype(np.float32)
 
     cent = (b.slot_bmin + b.slot_bmax) * 0.5  # (N, 8, 3)
     used = (np.arange(8)[None, :]
@@ -204,5 +213,6 @@ def pack_node_rows(b: FlatBVH8) -> np.ndarray:
         packed = np.zeros(n, np.int64)
         for k in range(8):
             packed |= order[:, k] << (3 * k)
-        rows[:, 52 + octant] = packed.astype(np.int32).view(np.float32)
+        # 8x3 bits = 24 -> max 2^24 - 1, exact as a float value
+        rows[:, 52 + octant] = packed.astype(np.float32)
     return rows

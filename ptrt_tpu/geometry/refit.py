@@ -10,7 +10,7 @@ ON DEVICE as pure jittable array ops, which is what lets a game's
 step+render fuse into one XLA program (no host round-trip, no C++ build).
 
 The refit plan is extracted ONCE (host) from the packed node rows — the
-tree structure is fully recoverable from the bitcast meta columns
+tree structure is fully recoverable from the float-encoded meta columns
 (geometry/bvh8.py layout) — and then applied per frame:
 
 1. triangle rows: scatter the new vertices into leaf-slot order, rebuild
@@ -71,7 +71,7 @@ def build_refit_plan(geom: SceneGeometry, order: np.ndarray | None = None,
     the geometry it returns (host-side only; not part of the pytree).
     """
     rows = np.asarray(geom.node_rows)
-    meta = rows[:, 48:52].view(np.int32)
+    meta = rows[:, 48:52].astype(np.int32)
     cba, lb, lmask, imask = (meta[:, 0].copy(), meta[:, 1].copy(),
                              meta[:, 2].copy(), meta[:, 3].copy())
     n = rows.shape[0]

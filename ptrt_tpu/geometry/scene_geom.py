@@ -38,10 +38,10 @@ class SceneGeometry:
     iteration fetches exactly one 8-wide node row and one triangle-block row:
 
     * ``node_rows`` (N, 64): 8-wide BVH node — eight child AABBs (SoA within
-      the row) + bitcast(child_base_adj, leaf_base, leaf_mask, int_mask);
+      the row) + float(child_base_adj, leaf_base, leaf_mask, int_mask);
       layout documented in geometry/bvh8.py.
     * ``tri_rows`` (B, LEAF_SIZE*10): per triangle [v0(3) e1(3) e2(3)
-      bitcast((mesh_id << 1) | shadow_opaque)] — a whole leaf in one
+      float((mesh_id << 1) | shadow_opaque)] — a whole leaf in one
       gather, 80 floats instead of 96 (gathered bytes per iteration are
       the traversal's dominant cost).
 
@@ -230,12 +230,14 @@ def assemble_geometry(meshes: list[Mesh],
     # vectorize the Möller–Trumbore test across the block.  Interleaved
     # per-triangle layout would need L*10 single-column extracts, each a
     # cross-lane relayout (~22x slower, measured).  mesh_id and the shadow
-    # opacity bit share one bitcast i32 ((id << 1) | opaque; id -1 = pad)
-    # so the row stays at 10 fields — the gathered bytes per iteration are
-    # the traversal's dominant cost.
+    # opacity bit share one float-encoded int ((id << 1) | opaque; id -1 =
+    # pad) so the row stays at 10 fields — the gathered bytes per iteration
+    # are the traversal's dominant cost.  The int is stored as an exact
+    # small-float VALUE, not a bit pattern (TPU fusions flush denormal f32
+    # loads of argument tables to zero — see bvh8.pack_node_rows).
     n_blocks = max(1, pmid.shape[0] // leaf_size)
     packed_id = ((pmid.astype(np.int32) << 1)
-                 | opaque.astype(np.int32)).view(np.float32)
+                 | opaque.astype(np.int32)).astype(np.float32)
     fields = [pv0[:, 0], pv0[:, 1], pv0[:, 2],
               e1[:, 0], e1[:, 1], e1[:, 2],
               e2[:, 0], e2[:, 1], e2[:, 2],
@@ -338,12 +340,12 @@ class InstanceSet:
 
 def _patch_offsets(node_rows: np.ndarray, node_off: int,
                    blk_off: int) -> np.ndarray:
-    """Add table offsets to the bitcast child_base/leaf_base columns of a
-    node-row block (cols 48/49, layout in geometry/bvh8.py)."""
+    """Add table offsets to the float-encoded child_base/leaf_base columns
+    of a node-row block (cols 48/49, layout in geometry/bvh8.py); exact
+    while the offset totals stay < 2^24."""
     out = node_rows.copy()
-    iv = out[:, 48:50].view(np.int32)
-    iv[:, 0] += node_off
-    iv[:, 1] += blk_off
+    out[:, 48] += np.float32(node_off)
+    out[:, 49] += np.float32(blk_off)
     return out
 
 

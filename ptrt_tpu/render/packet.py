@@ -188,12 +188,12 @@ def _seed_packet_root(st, geom, o_iv, i_iv, mixed, t_bound, octant, any_live):
     row = geom.node_rows[0]
     bmin8 = tuple(row[k:k + 8][None, :] for k in (0, 8, 16))
     bmax8 = tuple(row[k:k + 8][None, :] for k in (24, 32, 40))
-    meta = jax.lax.bitcast_convert_type(row[48:52], jnp.int32)
+    meta = _i32(row[48:52])
     cba, lb, lmask, imask = meta[0], meta[1], meta[2], meta[3]
     hitm = _hitmask8(_islab8(bmin8, bmax8, o_iv, i_iv, mixed,
                              jnp.where(any_live, t_bound, 0.0)))
     hitm = jnp.where(any_live, hitm, 0)
-    ordcols = jax.lax.bitcast_convert_type(row[52:60], jnp.int32)
+    ordcols = _i32(row[52:60])
     ordpack = jnp.zeros_like(hitm)
     for oc in range(8):
         ordpack = jnp.where(octant == oc, ordcols[oc], ordpack)

@@ -155,9 +155,16 @@ def build_env_sampling(env: np.ndarray,
     pdf_sa = (p.reshape(sh, sw) /
               np.maximum(d_omega[:, None], 1e-12)).reshape(-1)
 
+    if n >= (1 << 24):
+        raise ValueError(
+            f"env map has {n} texels; alias indices are float-encoded and "
+            f"must stay < 2^24 — downsample the importance resolution")
     packed = np.empty((n, 2), np.float32)
     packed[:, 0] = prob.astype(np.float32)
-    packed[:, 1] = alias.astype(np.int32).view(np.float32)
+    # alias index as an exact small-float VALUE (not a bit pattern: TPU
+    # fusions flush denormal f32 loads of argument tables to zero — see
+    # geometry/bvh8.pack_node_rows)
+    packed[:, 1] = alias.astype(np.float32)
     return packed, pdf_sa.astype(np.float32), (sh, sw)
 
 
@@ -184,7 +191,7 @@ def sample_env(state, sky: SkyConfig):
     k = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
     row = jnp.take(sky.env_alias, k, axis=0)
     keep = u2 < row[..., 0]
-    alias_idx = jax.lax.bitcast_convert_type(row[..., 1], jnp.int32)
+    alias_idx = row[..., 1].astype(jnp.int32)
     j = jnp.where(keep, k, alias_idx)
 
     ty = j // sw

@@ -111,7 +111,10 @@ def _safe_inv(d: Vec3) -> Vec3:
 
 
 def _i32(col: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.bitcast_convert_type(col, jnp.int32)
+    """Decode a float-encoded table int (exact small-float VALUE < 2^24,
+    see bvh8.pack_node_rows — bitcast bit patterns are denormal floats
+    that TPU fusions flush to zero when the table is a jit argument)."""
+    return col.astype(jnp.int32)
 
 
 _BITS8 = tuple(1 << k for k in range(8))
@@ -599,7 +602,7 @@ def _seed_from_root(st: dict, geom: SceneGeometry, o: Vec3, d: Vec3,
     row = geom.node_rows[0]
     bmin8 = (row[0:8], row[8:16], row[16:24])
     bmax8 = (row[24:32], row[32:40], row[40:48])
-    meta = jax.lax.bitcast_convert_type(row[48:52], jnp.int32)
+    meta = _i32(row[48:52])
     cba, lb, lmask, imask = meta[0], meta[1], meta[2], meta[3]
     inv_d = _safe_inv(d)
     live = t0 > 0.0
@@ -613,7 +616,7 @@ def _seed_from_root(st: dict, geom: SceneGeometry, o: Vec3, d: Vec3,
                base_l=jnp.full_like(st["base_l"], lb),
                mask_l=new_l)
     if octant is not None:
-        ordcols = jax.lax.bitcast_convert_type(row[52:60], jnp.int32)
+        ordcols = _i32(row[52:60])
         ordpack = jnp.zeros_like(hitm)
         for oc in range(8):
             ordpack = jnp.where(octant == oc, ordcols[oc], ordpack)

@@ -28,8 +28,7 @@ class TestAliasTables:
         packed, pdf, (sh, sw) = build_env_sampling(env)
         n = sh * sw
         prob = packed[:, 0].astype(np.float64)
-        alias = packed[:, 1].view(np.float32).astype(np.float32)
-        alias = packed[:, 1].copy().view(np.int32)
+        alias = packed[:, 1].astype(np.int32)  # float-encoded index
         recon = prob.copy()
         np.add.at(recon, alias, 1.0 - prob)
         recon /= n
