@@ -101,14 +101,27 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         # env-NEE rays (directions spread across the HDRI) stay per-ray:
         # a packet of mixed-sign directions has unbounded inv-direction
         # intervals and degrades toward a full-tree sweep.
+        #
+        # NEE shadow rays are only packet-coherent when the scene has ONE
+        # light: sample_light picks a light PER LANE, so with n_lights > 1
+        # an 8x8 shadow packet mixes targets, most packets get sign-mixed
+        # direction intervals, and the conservative walk degenerates to
+        # near-full-tree sweeps — measured IN-FRAME at 640x360/100k tris:
+        # the bounce-0 packet any cost ~970 ms of a 1086 ms frame (9.1x
+        # whole-frame regression vs the scattered per-ray walk, and the
+        # cause of round-3's 1080p bench device timeout), while isolated
+        # single-light probes showed the packet win.  tools/
+        # prof_frame_ablate.py is the attribution harness.
         # non-coherent bounces also get scattered=True: their wavefronts
         # are mostly-dead and fast-collapsing, so the walk ladders its
         # compaction (traverse.SCATTER_SHRINK) instead of the camera
         # profile's wide first pass (tools/prof_r3.py part P)
         closest = lambda o, d, t, coh=False: traverse.intersect_closest(
             geom, o, d, t, coherent=coh and pixel_grid, scattered=not coh)
+        nee_pk_ok = n_lights == 1  # see coherence note above
         make_any = lambda coh: (lambda o, d, t: traverse.intersect_any(
-            geom, o, d, t, coherent=coh and pixel_grid, scattered=not coh))
+            geom, o, d, t, coherent=coh and pixel_grid and nee_pk_ok,
+            scattered=not (coh and nee_pk_ok)))
     any_hit = make_any(False)
 
     shape = jnp.shape(ray.direction.x)

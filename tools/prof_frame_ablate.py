@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """In-frame cost attribution by surgical substitution: time the REAL
-_trace_only d4 spp1 frame, then re-time it with (a) scattered any-hit
+trace-only d4 spp1 frame, then re-time it with (a) scattered any-hit
 walks replaced by constant no-occlusion, (b) scattered closest walks
-replaced by a fake constant hit, (c) both.  The deltas attribute the
-per-bounce cost to walk vs shading arithmetic IN SITU (isolated probes
-have not been predictive: the walk retune doubled isolated bounce walks
-but moved the frame <4%)."""
+replaced by a fake constant hit, (c) both, (d) coherent (packet) bounce-0
+walks also removed.  The deltas attribute the per-bounce cost to walk vs
+shading arithmetic IN SITU (isolated probes have not been predictive).
+
+NOTE: each variant builds a FRESH ``jax.jit`` around ``pl.trace_frame`` —
+the first version of this tool went through ``pt_scene._trace_only``,
+whose jit cache returned the baseline's compiled program for every
+variant (monkeypatching traverse after the first trace has no effect on
+an already-compiled jit), so every delta read as zero.
+"""
 import os
 import sys
 import time
@@ -22,24 +28,22 @@ import jax.numpy as jnp
 
 from ptrt_tpu.app.bench_scene import build_bench_scene
 from ptrt_tpu.core.vec import Vec3
+from ptrt_tpu.render import pipeline as pl
 from ptrt_tpu.render import traverse as tv
 from tools.prof_r3 import timeit
 
-W, H = 1920, 1080
+W = int(os.environ.get("W", 640))
+H = int(os.environ.get("H", 360))
+DEPTH = int(os.environ.get("DEPTH", 4))
+SPP = int(os.environ.get("SPP", 1))
 sc = build_bench_scene(W, H, target_tris=int(os.environ.get("TRIS", 1_000_000)))
 sc._ensure_device_state()
-
-from ptrt_tpu.scene.pt_scene import _trace_only
 
 real_closest = tv.intersect_closest
 real_any = tv.intersect_any
 
 
-def fake_closest(geom, o, d, t_max=tv.T_MAX, coherent=False,
-                 scattered=False):
-    if not scattered:
-        return real_closest(geom, o, d, t_max, coherent=coherent,
-                            scattered=scattered)
+def fake_hit(o, d, t_max):
     live = jnp.asarray(t_max) > 0.0
     shape = jnp.shape(o.x)
     up = Vec3(jnp.zeros(shape), jnp.ones(shape), jnp.zeros(shape))
@@ -50,17 +54,32 @@ def fake_closest(geom, o, d, t_max=tv.T_MAX, coherent=False,
                   u=jnp.zeros(shape), v=jnp.zeros(shape))
 
 
-def fake_any(geom, o, d, t_f, coherent=False, scattered=False):
-    if not scattered:
+def make_fakes(kill_scattered, kill_coherent):
+    def fc(geom, o, d, t_max=tv.T_MAX, coherent=False, scattered=False):
+        if (scattered and kill_scattered) or (coherent and kill_coherent):
+            return fake_hit(o, d, t_max)
+        return real_closest(geom, o, d, t_max, coherent=coherent,
+                            scattered=scattered)
+
+    def fa(geom, o, d, t_f, coherent=False, scattered=False):
+        if (scattered and kill_scattered) or (coherent and kill_coherent):
+            return jnp.zeros(jnp.broadcast_shapes(jnp.shape(o.x),
+                                                  jnp.shape(t_f)), bool)
         return real_any(geom, o, d, t_f, coherent=coherent,
                         scattered=scattered)
-    return jnp.zeros(jnp.shape(o.x), bool)
+
+    return fc, fa
 
 
-def run(label):
+def run(label, closest=real_closest, anyf=real_any):
+    tv.intersect_closest = closest
+    tv.intersect_any = anyf
     rh, rw = sc.render_size
-    fn = _trace_only(rw, rh, 1, 4, len(sc.lights), sc._use_brute(),
-                     sc.env_map is not None)
+    nl = len(sc.lights)
+    fn = jax.jit(lambda geom, mats, lights, sky, camera, rng, fi, bn:
+                 pl.trace_frame(geom, mats, lights, nl, sky, camera, rng,
+                                fi, rw, rh, SPP, DEPTH, split=False,
+                                use_brute=False, blue_noise_tbl=bn))
     args = (sc._geom, sc._mat_table, sc._light_table, sc._sky(),
             sc.camera, sc._rng_state, jnp.int32(1), sc._blue_noise)
     t0 = time.time()
@@ -68,25 +87,23 @@ def run(label):
     jax.block_until_ready(out)
     comp = time.time() - t0
     ms = timeit(lambda: fn(*args), reps=3) * 1e3
-    print(f"  {label:34s} {ms:8.1f} ms  (compile {comp:5.1f}s)", flush=True)
+    rays = float(out[1].rays_traced)
+    print(f"  {label:40s} {ms:8.1f} ms  rays/frame {rays/1e6:6.2f}M  "
+          f"(compile {comp:5.1f}s)", flush=True)
+    tv.intersect_closest = real_closest
+    tv.intersect_any = real_any
     return ms
 
 
-import ptrt_tpu.render.integrator as integ
-
-print(f"-- in-frame ablation, {W}x{H} d4 spp1 --", flush=True)
+print(f"-- in-frame ablation, {W}x{H} d{DEPTH} spp{SPP} --", flush=True)
 base = run("baseline (real walks)")
-
-integ.traverse.intersect_any = fake_any
-no_any = run("scattered any -> const unoccluded")
-
-integ.traverse.intersect_any = real_any
-integ.traverse.intersect_closest = fake_closest
-no_closest = run("scattered closest -> const hit")
-
-integ.traverse.intersect_any = fake_any
-both = run("both walks removed")
-
+fc, fa = make_fakes(True, False)
+no_any = run("scattered any -> const unoccluded", real_closest, fa)
+no_closest = run("scattered closest -> const hit", fc, real_any)
+both = run("both scattered removed", fc, fa)
+fc2, fa2 = make_fakes(True, True)
+none = run("ALL walks removed (pure shading)", fc2, fa2)
 print(f"  => scattered any walks:   {base - no_any:8.1f} ms")
 print(f"  => scattered closest:     {base - no_closest:8.1f} ms")
-print(f"  => residual (camera phase + shading arithmetic): {both:8.1f} ms")
+print(f"  => coherent bounce-0:     {both - none:8.1f} ms")
+print(f"  => residual arithmetic:   {none:8.1f} ms")
