@@ -230,3 +230,50 @@ class TestTracePath:
                             jnp.ones(n, bool))
         state, out = trace_path(geom, table, lights, 1, sky, ray, state, 4)
         assert float(out.rays_traced) >= n  # at least the primary rays
+
+
+class TestNEEWalkRouting:
+    """NEE shadow rays are only packet-COHERENT when the scene has exactly
+    one light: sample_light picks a light PER LANE, so multi-light packets
+    mix targets and the conservative interval walk degenerates to
+    near-full-tree sweeps (measured 9.1x whole-frame in-frame; see the
+    coherence note in integrator.trace_path)."""
+
+    def _routed_flags(self, n_lights):
+        from ptrt_tpu.render import traverse as tv
+
+        geom, table, _ = _one_sphere_scene()
+        lights = LightTable.from_lights(
+            [Light.point((3, 4, 1), (1, 1, 1), 3.0)][:1] * n_lights)
+        sky = SkyConfig.gradient()
+        h, w = 4, 8
+        state = prng.seed(jnp.arange(h * w).reshape(h, w),
+                          jnp.zeros((h, w), jnp.int32), 5)
+        d = normalize(Vec3(jnp.zeros((h, w)), jnp.zeros((h, w)),
+                           jnp.ones((h, w))))
+        ray = RayBatch.make(Vec3.zeros((h, w)), d, jnp.ones((h, w), bool))
+
+        calls = []
+        real_any = tv.intersect_any
+
+        def spy(geom_, o, dd, t, coherent=False, scattered=False):
+            calls.append((coherent, scattered))
+            return real_any(geom_, o, dd, t, coherent=coherent,
+                            scattered=scattered)
+
+        tv.intersect_any = spy
+        try:
+            trace_path(geom, table, lights, n_lights, sky, ray, state, 2,
+                       pixel_grid=True)
+        finally:
+            tv.intersect_any = real_any
+        return calls
+
+    def test_single_light_nee_claims_coherence(self):
+        calls = self._routed_flags(1)
+        assert any(coh for coh, _ in calls)
+
+    def test_multi_light_nee_goes_scattered(self):
+        calls = self._routed_flags(2)
+        assert calls and not any(coh for coh, _ in calls)
+        assert all(scat for _, scat in calls)
