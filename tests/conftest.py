@@ -21,7 +21,14 @@ import jax  # noqa: E402
 # platform and ignores the JAX_PLATFORMS env var; the config update below is
 # what actually pins tests to the virtual 8-device CPU backend.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/ptrt_jax_cache")
+# CPU-only cache, NOT the shared /tmp/ptrt_jax_cache the TPU bench/tools
+# use: with PALLAS_AXON_REMOTE_COMPILE=1 every XLA compile (CPU included)
+# is served by the remote compile service, whose XLA:CPU AOT results
+# carry the REMOTE host's machine features; mixing those entries across
+# compiler versions/hosts in one dir produced a hard SIGILL loading the
+# sharded full-frame executable mid-suite.  A dedicated dir keeps test
+# entries self-consistent (same same-session compiler for write + read).
+jax.config.update("jax_compilation_cache_dir", "/tmp/ptrt_jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -28,13 +28,23 @@ from ptrt_tpu.core.vec import Vec3, normalize
 from ptrt_tpu.render import traverse as tv
 
 
+def _sync(out):
+    """Force FULL materialization of a result: ``block_until_ready``
+    through the axon tunnel can return before the dispatch queue drains
+    (measured: a 30 ms walk 'timed' at 0.1 ms), so fetch a tiny slice of
+    one leaf to the host — the fetch orders after everything queued."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf if getattr(leaf, "ndim", 0) == 0
+               else leaf.reshape(-1)[:1])
+
+
 def timeit(fn, *args, reps=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.time() - t0) / reps
 
 
