@@ -523,6 +523,70 @@ def _pack_active(active, small_n):
     return out.at[pos].set(lanes, mode="drop")
 
 
+FUSED_COMPACT = _env_int("PTRT_FUSED_COMPACT", 1, 0, 1)
+
+
+def _f2i(a):
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _i2f(a):
+    return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+
+def _fused_take(state, o, d, extras, perm):
+    """ONE row gather for the whole compaction transport: walk state + ray
+    origins/directions + extras are packed as int32 columns of a single
+    (R, C) matrix (floats bitcast — pure bit transport, no float math ever
+    touches the int view, so TPU denormal flushing cannot alter values),
+    gathered with ``perm`` once, and unpacked.
+
+    The measured gather model (TODO.md: cost is per-INDEX, row width ~free
+    to ~96 floats) makes one C-wide row gather ~12x cheaper than the 11+
+    per-array takes it replaces — that per-array machinery cost is what
+    made fine-grained compaction ladders LOSE their round-3 sweeps."""
+    cols = []
+    spec = []  # (kind, key, dtype, ncols, was_1d)
+
+    def add(kind, key, a):
+        if a.dtype == jnp.bool_:
+            enc, dt = a.astype(jnp.int32), jnp.bool_
+        elif a.dtype == jnp.float32:
+            enc, dt = _f2i(a), jnp.float32
+        else:
+            enc, dt = a, jnp.int32
+        was_1d = enc.ndim == 1
+        blk = enc[:, None] if was_1d else enc
+        cols.append(blk)
+        spec.append((kind, key, dt, blk.shape[1], was_1d))
+
+    for k, a in state.items():
+        add("st", k, a)
+    for i, c in enumerate((o.x, o.y, o.z, d.x, d.y, d.z)):
+        add("ray", i, c)
+    for i, e in enumerate(extras):
+        add("ex", i, e)
+    mat = jnp.concatenate(cols, axis=1)
+    sm = jnp.take(mat, perm, axis=0)
+    out_st, ray, ex = {}, [None] * 6, [None] * len(extras)
+    off = 0
+    for kind, key, dt, nc, was_1d in spec:
+        v = sm[:, off] if was_1d else sm[:, off:off + nc]
+        off += nc
+        if dt == jnp.float32:
+            v = _i2f(v)
+        elif dt == jnp.bool_:
+            v = v != 0
+        if kind == "st":
+            out_st[key] = v
+        elif kind == "ray":
+            ray[key] = v
+        else:
+            ex[key] = v
+    return (out_st, Vec3(ray[0], ray[1], ray[2]),
+            Vec3(ray[3], ray[4], ray[5]), tuple(ex))
+
+
 def _compact_finish(loop_factory, state, o, d, extras=(), stages=1,
                     result_keys=None, shrink=None, stack_cm=False):
     """Compact unfinished lanes into a 1/shrink buffer, continue
@@ -540,13 +604,16 @@ def _compact_finish(loop_factory, state, o, d, extras=(), stages=1,
     small_n = total // shrink
     perm = _pack_active(_active(state), small_n)
     take = lambda a: jnp.take(a, perm, axis=0)
-    small = {k: jnp.take(a, perm,
-                         axis=1 if (stack_cm and k.startswith("stack"))
-                         else 0)
-             for k, a in state.items()}
-    o_s = o.map(take)
-    d_s = d.map(take)
-    extras_s = tuple(take(e) for e in extras)
+    if FUSED_COMPACT and not stack_cm:
+        small, o_s, d_s, extras_s = _fused_take(state, o, d, extras, perm)
+    else:
+        small = {k: jnp.take(a, perm,
+                             axis=1 if (stack_cm and k.startswith("stack"))
+                             else 0)
+                 for k, a in state.items()}
+        o_s = o.map(take)
+        d_s = d.map(take)
+        extras_s = tuple(take(e) for e in extras)
     last = stages <= 1 or small_n // shrink < 1024
     small = loop_factory(small, o_s, d_s, *extras_s, to_completion=last)
     if not last:
@@ -557,6 +624,21 @@ def _compact_finish(loop_factory, state, o, d, extras=(), stages=1,
         upd = lambda full, sm: full.at[perm].set(sm)
         return jax.tree_util.tree_map(upd, state, small)
     out = dict(state)
+    if FUSED_COMPACT and len(result_keys) > 1:
+        # fused result scatter: one row scatter instead of one per key
+        enc = lambda a: _f2i(a) if a.dtype == jnp.float32 else (
+            a.astype(jnp.int32))
+        fm = jnp.stack([enc(state[k]) for k in result_keys], axis=1)
+        sm_m = jnp.stack([enc(small[k]) for k in result_keys], axis=1)
+        fm = fm.at[perm].set(sm_m)
+        for i, k in enumerate(result_keys):
+            v = fm[:, i]
+            if state[k].dtype == jnp.float32:
+                v = _i2f(v)
+            elif state[k].dtype != jnp.int32:
+                v = v.astype(state[k].dtype)
+            out[k] = v
+        return out
     for k in result_keys:
         out[k] = jax.tree_util.tree_map(
             lambda full, sm: full.at[perm].set(sm), state[k], small[k])
