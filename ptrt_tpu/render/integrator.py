@@ -37,6 +37,105 @@ RUSSIAN_ROULETTE_MIN_PROB = 0.05
 MAX_BOUNCE_WEIGHT = 50.0
 MAX_FINAL_RADIANCE = 100.0
 
+from ptrt_tpu.geometry.bvh import _env_int as _ei
+
+# Bounce-wavefront compaction: from this bounce on (unrolled loop only),
+# the whole bounce body — walks AND shading arithmetic — runs over a
+# packed buffer of the alive lanes instead of the full wavefront.  Late
+# bounces are mostly dead (bounce-2 alive ~0.3, bounce-3 <0.2 on the
+# bench scene), yet the BSDF/NEE/MIS elementwise chains were paid at
+# full width every bounce.  EXACT for every live lane (per-lane math is
+# lane-local; processing order cannot change a lane's result); rounds
+# repeat while alive lanes remain unprocessed, so an unexpectedly-live
+# wavefront degrades to more rounds, never to dropped lanes.  Dead lanes
+# no longer advance their (already-dead) rng streams — engagement is
+# therefore gated on wavefront size so small CI/golden renders keep
+# their committed noise patterns bit-for-bit.
+BOUNCE_COMPACT = _ei("PTRT_BOUNCE_COMPACT", 1, 0, 1)
+BOUNCE_COMPACT_FROM = _ei("PTRT_BOUNCE_COMPACT_FROM", 2, 1, 64)
+BOUNCE_COMPACT_MIN = _ei("PTRT_BOUNCE_COMPACT_MIN", 131072, 0, 1 << 30)
+
+
+def _enc_i32(a):
+    if a.dtype == jnp.bool_:
+        return a.astype(jnp.int32)
+    if a.dtype == jnp.int32:
+        return a
+    return jax.lax.bitcast_convert_type(a, jnp.int32)  # f32/u32: exact bits
+
+
+def _dec_i32(v, dt):
+    if dt == jnp.bool_:
+        return v != 0
+    if dt == jnp.int32:
+        return v
+    return jax.lax.bitcast_convert_type(v, dt)
+
+
+def _packed_bounce(s, body_fn, shrink: int):
+    """Run one bounce body over only the ALIVE lanes in rounds of a
+    total//shrink buffer.  Transport is one fused row gather/scatter
+    (the traverse._fused_take trick): all per-lane state rides a single
+    int32 matrix.  Unfilled pack slots duplicate lane 0; their results
+    are DROPPED at scatter (index -> out of bounds), so a lane is never
+    double-processed."""
+    from ptrt_tpu.render.traverse import _pack_active
+
+    scalars = {k: s[k] for k in ("bounce", "rays")}
+    # first_* G-buffer keys are only written at bounce 0 — past that the
+    # body's is_first gates are statically dead, so they need neither
+    # transport nor the (small) where-chains: pass them through untouched
+    frozen = {k: s[k] for k in s if k.startswith("first_")}
+    per_lane = {k: v for k, v in s.items()
+                if k not in scalars and k not in frozen}
+    leaves, treedef = jax.tree_util.tree_flatten(per_lane)
+    total = jnp.size(leaves[0])
+    C = max(total // shrink, 4096)
+    dts = [a.dtype for a in leaves]
+    mat = jnp.concatenate([_enc_i32(a)[:, None] for a in leaves], axis=1)
+
+    def cond(c):
+        return jnp.any(c[0])
+
+    def rbody(c):
+        pending, m, rays = c
+        pos = jnp.cumsum(pending.astype(jnp.int32)) - 1
+        processed = pending & (pos < C)
+        perm = _pack_active(processed, C)
+        sm = jnp.take(m, perm, axis=0)
+        act_s = jnp.take(processed, perm, axis=0)
+        sml = [_dec_i32(sm[:, i], dt) for i, dt in enumerate(dts)]
+        st = dict(jax.tree_util.tree_unflatten(treedef, sml),
+                  bounce=scalars["bounce"], rays=rays)
+        # frozen keys: dead stand-ins (the body's is_first writes are
+        # no-ops past bounce 0; outputs are discarded)
+        for fk, fv in frozen.items():
+            st[fk] = jax.tree_util.tree_map(
+                lambda a: jnp.zeros((C,), a.dtype), fv)
+        # duplicate slots enter DEAD so they trace/accumulate/count nothing
+        st["alive"] = st["alive"] & act_s
+        st = body_fn(st)
+        rays = st.pop("rays")
+        st.pop("bounce")
+        for fk in frozen:
+            st.pop(fk)
+        out_leaves = jax.tree_util.tree_leaves(st)
+        sm_out = jnp.concatenate([_enc_i32(a)[:, None] for a in out_leaves],
+                                 axis=1)
+        # drop writes from duplicate slots (their lane was not processed
+        # this round — writing would re-advance its rng / re-accumulate)
+        wperm = jnp.where(act_s, perm, total)
+        m = m.at[wperm].set(sm_out, mode="drop")
+        return (pending & jnp.logical_not(processed), m, rays)
+
+    pending0 = per_lane["alive"]
+    _, mat, rays = jax.lax.while_loop(
+        cond, rbody, (pending0, mat, scalars["rays"]))
+    outl = [_dec_i32(mat[:, i], dt) for i, dt in enumerate(dts)]
+    out = dict(jax.tree_util.tree_unflatten(treedef, outl),
+               bounce=scalars["bounce"] + 1, rays=rays, **frozen)
+    return out
+
 
 class PathOutput(NamedTuple):
     rays_traced: jnp.ndarray  # scalar: closest-hit + shadow rays traced
@@ -164,6 +263,10 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         # static_k: the bounce index when the loop is UNROLLED (None inside
         # lax loops) — only bounce 0 is statically known pixel-coherent
         coh = static_k == 0
+        # shape-agnostic: under _packed_bounce the body runs on a packed
+        # flat buffer smaller than the wavefront, so every broadcast-zero
+        # must derive from the CARRIED state, not the outer closure
+        zero3 = Vec3.zeros(jnp.shape(s["alive"]))
         bounce = s["bounce"]
         # depth guard: the chunked loop below runs the body in CHUNK-sized
         # groups, so the final chunk can overshoot max_depth — those extra
@@ -339,10 +442,37 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         s["bounce"] = bounce + 1
         return s
 
+    total_lanes = 1
+    for _sd in shape:
+        total_lanes *= _sd
     if unroll:
         out = init
+        flat = False
         for k in range(max_depth):
-            out = body(out, static_k=k)
+            use_pack = (BOUNCE_COMPACT and k >= BOUNCE_COMPACT_FROM
+                        and total_lanes >= BOUNCE_COMPACT_MIN)
+            if use_pack and not flat:
+                # flatten every per-lane leaf once; packed rounds work in
+                # flat lane space (accumulators reshape back at the end)
+                out = {kk: (vv if kk in ("bounce", "rays") else
+                            jax.tree_util.tree_map(
+                                lambda a: a.reshape(total_lanes), vv))
+                       for kk, vv in out.items()}
+                flat = True
+            if use_pack:
+                # alive fraction roughly halves per bounce past RR start:
+                # buffer 1/2 at the first packed bounce, then 1/4, 1/8, ...
+                # (overflow = another round, never dropped lanes)
+                shrink = min(2 ** (k - BOUNCE_COMPACT_FROM + 1), 16)
+                out = _packed_bounce(
+                    out, lambda st, kk=k: body(st, static_k=kk), shrink)
+            else:
+                out = body(out, static_k=k)
+        if flat:
+            out = {kk: (vv if kk in ("bounce", "rays") else
+                        jax.tree_util.tree_map(
+                            lambda a: a.reshape(shape), vv))
+                   for kk, vv in out.items()}
     else:
         # peel the statically-known-coherent camera bounce out of the loop
         # so deep presets (ultra d32) still get the packet walks

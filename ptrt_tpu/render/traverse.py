@@ -333,19 +333,25 @@ ANY_LEAF_EVERY_COH = _env_int("PTRT_ANY_LEAF_EVERY_COH", 1, 1, 8)
 # 0: pass 1 exits (or never runs) the moment the active count fits the tail
 # buffer — bounce-2+ and NEE walks start mostly-dead, and forcing even two
 # full-width iterations on them wastes ~44 ms per call at 1080p
+#
+# ROUND-4 RETUNE: every compaction profile below was re-swept after the
+# FUSED state transport landed (one row gather per stage instead of 11+
+# per-array takes, see _fused_take).  With the machinery ~12x cheaper the
+# optima moved to FINER ladders everywhere (tools/sweep_r4.py,
+# sweep_r4b.py; 1080p wavefronts, 1M-tri scene, TPU v5e):
+#   camera closest: big_shrink 12x2 191.2 -> 6x3 144.4 ms
+#   camera any:     16x1 219.2 -> 8x3 145.5 ms
+#   scattered closest: auto(camera) 151.0 -> 5x4 126.9 ms
+#   scattered any:  16x2 stays best (50.2 ms)
 PASS_MIN_ITERS = _env_int("PTRT_PASS_MIN_ITERS", 0, 0, 1024)
 COMPACT_SHRINK = _env_int("PTRT_COMPACT_SHRINK", 8, 2, 256)
-COMPACT_STAGES = _env_int("PTRT_COMPACT_STAGES", 2, 1, 8)
-# any-hit walks terminate on first hit, so their tails are short and flat:
-# one deeper compaction stage wins (TPU sweep, tools/sweep_compact.py:
-# 10.7 ms vs 13.0 ms at 230k lanes)
-ANY_COMPACT_SHRINK = _env_int("PTRT_ANY_SHRINK", 16, 2, 256)
-ANY_COMPACT_STAGES = _env_int("PTRT_ANY_STAGES", 1, 1, 8)
+COMPACT_STAGES = _env_int("PTRT_COMPACT_STAGES", 3, 1, 8)
+# any-hit walks terminate on first hit, so their tails are short and flat
+ANY_COMPACT_SHRINK = _env_int("PTRT_ANY_SHRINK", 8, 2, 256)
+ANY_COMPACT_STAGES = _env_int("PTRT_ANY_STAGES", 2, 1, 8)
 # closest-walk shrink at megapixel scale: per-lane gather cost grows with
-# buffer size past ~1M lanes, so letting pass 1 run a bit longer and
-# compacting straight into a 1/12 buffer wins (1080p sweep: 264 ms vs 322
-# at shrink 8, 345 at 16); small wavefronts keep the 230k-lane optimum 8
-BIG_COMPACT_SHRINK = _env_int("PTRT_BIG_SHRINK", 12, 2, 256)
+# buffer size past ~1M lanes; small wavefronts keep the 230k-lane optimum 8
+BIG_COMPACT_SHRINK = _env_int("PTRT_BIG_SHRINK", 6, 2, 256)
 BIG_COMPACT_LANES = 1_000_000
 MIN_COMPACT_LANES = 16384
 # SCATTERED walks (bounce>=1 closest, bounce/env NEE any): the active
@@ -362,8 +368,13 @@ MIN_COMPACT_LANES = 16384
 # scattered keeps a real ladder at 16x2 (bounce-1: 62.9 vs camera 90.6;
 # bounce-2-dead: 48.3 vs 78.5).  PASS_MIN_ITERS=0 still lets every
 # stage exit the moment the active set fits the next buffer.
-SCATTER_SHRINK = _env_int("PTRT_SCATTER_SHRINK", 0, 0, 256)
-SCATTER_STAGES = _env_int("PTRT_SCATTER_STAGES", 2, 1, 12)
+# (round-4: with fused transport the ladder now BEATS the camera profile
+# on scattered closest walks — 5x4: 126.9 ms vs auto 151.0; shipped 5x3
+# (131.4) because each extra stage instantiates another walk body per
+# scattered walk and the bigger frame program flirts with the remote
+# compile helper's memory cap, sweep_r4b.py)
+SCATTER_SHRINK = _env_int("PTRT_SCATTER_SHRINK", 5, 0, 256)
+SCATTER_STAGES = _env_int("PTRT_SCATTER_STAGES", 3, 1, 12)
 ANY_SCATTER_SHRINK = _env_int("PTRT_ANY_SCATTER_SHRINK", 16, 2, 256)
 ANY_SCATTER_STAGES = _env_int("PTRT_ANY_SCATTER_STAGES", 2, 1, 12)
 

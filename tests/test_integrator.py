@@ -277,3 +277,36 @@ class TestNEEWalkRouting:
         calls = self._routed_flags(2)
         assert calls and not any(coh for coh, _ in calls)
         assert all(scat for _, scat in calls)
+
+
+class TestBounceCompaction:
+    def test_packed_bounces_bit_equal(self, monkeypatch):
+        """The packed late-bounce path (integrator._packed_bounce) must
+        match the full-width body for every pixel: per-lane math is
+        lane-local, so compacting the alive set cannot change results.
+        Tolerance is 1 ULP — XLA picks different fusions/FMA contractions
+        at different buffer shapes (measured: 18/4096 lanes differ by
+        ~3e-8 on CPU) — and the traced-ray COUNT must match exactly.
+        Forced on tiny wavefronts by dropping the engagement threshold."""
+        from ptrt_tpu.render import integrator as ig
+
+        geom, table, lights = _one_sphere_scene()
+        sky = SkyConfig.gradient((0.6, 0.7, 0.9), (0.2, 0.2, 0.25))
+        n = 4096
+        state0 = prng.seed(jnp.arange(n), jnp.zeros(n, jnp.int32), 7)
+        ang = jnp.linspace(-0.4, 0.4, n)
+        d = normalize(Vec3(ang, jnp.sin(ang * 3.0) * 0.3, jnp.ones(n)))
+        ray = RayBatch.make(Vec3.zeros((n,)), d, jnp.ones(n, bool))
+
+        def run():
+            _, out = trace_path(geom, table, lights, 1, sky, ray, state0,
+                                max_depth=5, unroll=True)
+            return np.asarray(out.radiance.x), np.asarray(out.rays_traced)
+
+        monkeypatch.setattr(ig, "BOUNCE_COMPACT", 0)
+        full_x, full_rays = run()
+        monkeypatch.setattr(ig, "BOUNCE_COMPACT", 1)
+        monkeypatch.setattr(ig, "BOUNCE_COMPACT_MIN", 0)
+        packed_x, packed_rays = run()
+        np.testing.assert_allclose(packed_x, full_x, rtol=1e-5, atol=1e-6)
+        assert full_rays == packed_rays
