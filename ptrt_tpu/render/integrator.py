@@ -55,6 +55,11 @@ BOUNCE_COMPACT = _ei("PTRT_BOUNCE_COMPACT", 1, 0, 1)
 BOUNCE_COMPACT_FROM = _ei("PTRT_BOUNCE_COMPACT_FROM", 2, 1, 64)
 BOUNCE_COMPACT_MIN = _ei("PTRT_BOUNCE_COMPACT_MIN", 131072, 0, 1 << 30)
 
+# Max light count for per-light packet routing of coherent (bounce-0) NEE
+# shadow rays (see the coherence note in trace_path); 0 disables routing
+# and multi-light NEE always takes the scattered per-ray walk.
+NEE_PK_LIGHTS = _ei("PTRT_NEE_PK_LIGHTS", 8, 0, 31)
+
 
 def _enc_i32(a):
     if a.dtype == jnp.bool_:
@@ -191,7 +196,8 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         closest = lambda o, d, t, coh=False: (
             traverse.intersect_closest_brute(geom, o, d, t))
         make_any = lambda coh: (
-            lambda o, d, t: traverse.intersect_any_brute(geom, o, d, t))
+            lambda o, d, t, li=None: traverse.intersect_any_brute(
+                geom, o, d, t))
     else:
         # ``coh`` marks a bounce whose rays are still pixel-tile COHERENT
         # (bounce 0: camera rays / shadow rays from primary hits): those
@@ -201,26 +207,37 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
         # a packet of mixed-sign directions has unbounded inv-direction
         # intervals and degrades toward a full-tree sweep.
         #
-        # NEE shadow rays are only packet-coherent when the scene has ONE
-        # light: sample_light picks a light PER LANE, so with n_lights > 1
-        # an 8x8 shadow packet mixes targets, most packets get sign-mixed
-        # direction intervals, and the conservative walk degenerates to
-        # near-full-tree sweeps — measured IN-FRAME at 640x360/100k tris:
-        # the bounce-0 packet any cost ~970 ms of a 1086 ms frame (9.1x
-        # whole-frame regression vs the scattered per-ray walk, and the
-        # cause of round-3's 1080p bench device timeout), while isolated
-        # single-light probes showed the packet win.  tools/
-        # prof_frame_ablate.py is the attribution harness.
+        # NEE shadow rays are only packet-coherent per LIGHT: sample_light
+        # picks a light PER LANE, so with n_lights > 1 an 8x8 shadow packet
+        # mixes targets, most packets get sign-mixed direction intervals,
+        # and the conservative walk degenerates to near-full-tree sweeps —
+        # measured IN-FRAME at 640x360/100k tris: the bounce-0 packet any
+        # cost ~970 ms of a 1086 ms frame (9.1x whole-frame regression vs
+        # the scattered per-ray walk, and the cause of round-3's 1080p
+        # bench device timeout), while isolated single-light probes showed
+        # the packet win.  The fix is per-light ROUTING: the sampled light
+        # index rides along with the shadow ray, and intersect_any runs one
+        # packet pass per light with the other lanes masked dead — each
+        # pass's packets aim at a single target, so the intervals are tight
+        # again (exact: lanes take their own group's result, the union of
+        # the masked passes equals the single mixed pass).  Gated to
+        # n_lights <= NEE_PK_LIGHTS: each light adds a packet-walk body to
+        # the program, and past a handful of passes the scattered per-ray
+        # walk wins back.  tools/prof_frame_ablate.py is the attribution
+        # harness.
         # non-coherent bounces also get scattered=True: their wavefronts
-        # are mostly-dead and fast-collapsing, so the walk ladders its
+        # are mostly-dead and fast-collapsing, so the walk uses the ladder
         # compaction (traverse.SCATTER_SHRINK) instead of the camera
         # profile's wide first pass (tools/prof_r3.py part P)
         closest = lambda o, d, t, coh=False: traverse.intersect_closest(
             geom, o, d, t, coherent=coh and pixel_grid, scattered=not coh)
-        nee_pk_ok = n_lights == 1  # see coherence note above
-        make_any = lambda coh: (lambda o, d, t: traverse.intersect_any(
-            geom, o, d, t, coherent=coh and pixel_grid and nee_pk_ok,
-            scattered=not (coh and nee_pk_ok)))
+        nee_pk_ok = 1 <= n_lights <= max(NEE_PK_LIGHTS, 1)
+        make_any = lambda coh: (lambda o, d, t, li=None: traverse.intersect_any(
+            geom, o, d, t,
+            coherent=coh and pixel_grid and nee_pk_ok
+            and (li is not None or n_lights == 1),
+            scattered=not (coh and n_lights == 1),
+            light_id=li if n_lights > 1 else None, n_light_groups=n_lights))
     any_hit = make_any(False)
 
     shape = jnp.shape(ray.direction.x)

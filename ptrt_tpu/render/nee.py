@@ -108,7 +108,7 @@ def sample_light(state, lights: LightTable, n_lights: int, point: Vec3):
     pdf_out = jnp.where(is_dir, pdf_pick, pdf_local)
     att_out = jnp.where(is_dir, 1.0, att)
     dist_out = jnp.where(is_dir, 1e30, dist)
-    return state, l_out, pdf_out, radiance, att_out, dist_out
+    return state, l_out, pdf_out, radiance, att_out, dist_out, li
 
 
 def sample_direct_lighting(state, point: Vec3, normal: Vec3, front_face, mat,
@@ -116,7 +116,9 @@ def sample_direct_lighting(state, point: Vec3, normal: Vec3, front_face, mat,
                            any_hit_fn, split: bool = False, active=None):
     """One-sample NEE estimate (``path_logic.cuh:305-393`` / ``:395-488``).
 
-    ``any_hit_fn(origin, direction, t_max) -> bool`` is the shadow traversal.
+    ``any_hit_fn(origin, direction, t_max, light_index) -> bool`` is the
+    shadow traversal (``light_index`` lets coherent walks regroup packets
+    per light; ignore it for per-ray walks).
     ``active`` masks lanes that actually need NEE: inactive lanes get a
     negative t_max so their shadow rays exit traversal in one iteration —
     without this, dead lanes carry garbage hit points (o + d*1e30) whose
@@ -126,7 +128,7 @@ def sample_direct_lighting(state, point: Vec3, normal: Vec3, front_face, mat,
     (diffuse, specular) pair when ``split``).
     """
     v = -ray_dir
-    state, l, pdf_sample, radiance, att, dist = sample_light(
+    state, l, pdf_sample, radiance, att, dist, li = sample_light(
         state, lights, n_lights, point)
 
     offset = where(normal.dot(l) > 0.0, normal * 1e-4, normal * -1e-4)
@@ -134,7 +136,11 @@ def sample_direct_lighting(state, point: Vec3, normal: Vec3, front_face, mat,
     shadow_t = dist - 1e-3
     if active is not None:
         shadow_t = jnp.where(active, shadow_t, -1.0)
-    in_shadow = any_hit_fn(shadow_o, l, shadow_t)
+    # the sampled light index rides along so coherent bounce-0 walks can
+    # regroup shadow packets PER LIGHT (see integrator make_any): an 8x8
+    # shadow packet mixing targets has sign-mixed direction intervals and
+    # degenerates to a near-full-tree sweep
+    in_shadow = any_hit_fn(shadow_o, l, shadow_t, li)
 
     lit = jnp.logical_not(in_shadow) & (pdf_sample > 0.0)
     scale = att / jnp.maximum(pdf_sample, 1e-12)

@@ -1465,7 +1465,8 @@ def _packet_any_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> jnp.ndarray:
 
 def intersect_any(geom, o: Vec3, d: Vec3, t_max,
                   coherent: bool = False,
-                  scattered: bool = False) -> jnp.ndarray:
+                  scattered: bool = False,
+                  light_id=None, n_light_groups: int = 0) -> jnp.ndarray:
     """Shadow any-hit; skips transmissive occluders, matching
     ``bvh_any_hit_tlas`` (``intersection.cuh:481-524``).  Accepts a flat
     ``SceneGeometry`` or a two-level ``WorldGeometry``.
@@ -1476,7 +1477,15 @@ def intersect_any(geom, o: Vec3, d: Vec3, t_max,
     shadow rays.
 
     ``scattered=True`` marks a bounce/env-NEE wavefront: the walk uses
-    the ladder compaction profile (ANY_SCATTER_SHRINK)."""
+    the ladder compaction profile (ANY_SCATTER_SHRINK).
+
+    ``light_id`` (+ ``n_light_groups``): per-lane target-group index for
+    coherent NEE wavefronts.  The packet walk runs once PER GROUP with the
+    other lanes masked dead, and each lane takes its own group's result —
+    a packet of rays aimed at one shared light has tight direction
+    intervals, while a mixed packet degenerates to a near-full-tree sweep
+    (round-3 postmortem).  Exact: the union of the masked passes is the
+    same per-lane predicate."""
     from ptrt_tpu.geometry.scene_geom import WorldGeometry
 
     shape = jnp.broadcast_shapes(jnp.shape(o.x), jnp.shape(d.x),
@@ -1487,7 +1496,15 @@ def intersect_any(geom, o: Vec3, d: Vec3, t_max,
     gs = geom.static if isinstance(geom, WorldGeometry) else geom
     use_pk = (coherent and PACKET_ANY and len(shape) >= 2
               and total >= _PK_MIN_PIXELS)
-    if use_pk:
+    if use_pk and light_id is not None and n_light_groups > 1:
+        t_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+        li_b = jnp.broadcast_to(light_id, shape)
+        hit_g = jnp.zeros(shape, bool)
+        for ell in range(n_light_groups):
+            sel = li_b == ell
+            h = _packet_any_grid(gs, o, d, jnp.where(sel, t_b, -1.0), shape)
+            hit_g = jnp.where(sel, h, hit_g)
+    elif use_pk:
         hit_g = _packet_any_grid(gs, o, d, t_max, shape)
     o = o.broadcast_to(shape).map(lambda c: c.reshape(total))
     d = d.broadcast_to(shape).map(lambda c: c.reshape(total))

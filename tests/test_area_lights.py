@@ -16,7 +16,7 @@ def _sample_many(light, point, n=20000):
     state = prng.seed(jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()), 7)
     p = Vec3(jnp.full((n,), point[0]), jnp.full((n,), point[1]),
              jnp.full((n,), point[2]))
-    state, l, pdf, radiance, att, dist = jax.jit(
+    state, l, pdf, radiance, att, dist, _li = jax.jit(
         lambda s, pp: sample_light(s, t, 1, pp))(state, p)
     return (np.stack([np.asarray(l.x), np.asarray(l.y), np.asarray(l.z)], 1),
             np.asarray(pdf), np.asarray(dist))

@@ -233,13 +233,16 @@ class TestTracePath:
 
 
 class TestNEEWalkRouting:
-    """NEE shadow rays are only packet-COHERENT when the scene has exactly
-    one light: sample_light picks a light PER LANE, so multi-light packets
-    mix targets and the conservative interval walk degenerates to
-    near-full-tree sweeps (measured 9.1x whole-frame in-frame; see the
-    coherence note in integrator.trace_path)."""
+    """NEE shadow rays are only packet-COHERENT per LIGHT: sample_light
+    picks a light PER LANE, so multi-light packets mix targets and the
+    conservative interval walk degenerates to near-full-tree sweeps
+    (measured 9.1x whole-frame in-frame).  Multi-light scenes therefore
+    route shadow packets per light (one masked packet pass per light,
+    integrator.NEE_PK_LIGHTS cap); past the cap they fall back to the
+    scattered per-ray walk (see the coherence note in trace_path)."""
 
-    def _routed_flags(self, n_lights):
+    def _routed_flags(self, n_lights, pk_cap=None):
+        from ptrt_tpu.render import integrator as ig
         from ptrt_tpu.render import traverse as tv
 
         geom, table, _ = _one_sphere_scene()
@@ -255,28 +258,80 @@ class TestNEEWalkRouting:
 
         calls = []
         real_any = tv.intersect_any
+        real_cap = ig.NEE_PK_LIGHTS
 
-        def spy(geom_, o, dd, t, coherent=False, scattered=False):
-            calls.append((coherent, scattered))
+        def spy(geom_, o, dd, t, coherent=False, scattered=False,
+                light_id=None, n_light_groups=0):
+            calls.append((coherent, scattered, light_id is not None))
             return real_any(geom_, o, dd, t, coherent=coherent,
-                            scattered=scattered)
+                            scattered=scattered, light_id=light_id,
+                            n_light_groups=n_light_groups)
 
         tv.intersect_any = spy
+        if pk_cap is not None:
+            ig.NEE_PK_LIGHTS = pk_cap
         try:
             trace_path(geom, table, lights, n_lights, sky, ray, state, 2,
                        pixel_grid=True)
         finally:
             tv.intersect_any = real_any
+            ig.NEE_PK_LIGHTS = real_cap
         return calls
 
     def test_single_light_nee_claims_coherence(self):
         calls = self._routed_flags(1)
-        assert any(coh for coh, _ in calls)
+        assert any(coh for coh, _, _ in calls)
 
-    def test_multi_light_nee_goes_scattered(self):
+    def test_multi_light_nee_routes_per_light_packets(self):
         calls = self._routed_flags(2)
-        assert calls and not any(coh for coh, _ in calls)
-        assert all(scat for _, scat in calls)
+        assert any(coh and routed for coh, _, routed in calls)
+
+    def test_past_cap_multi_light_nee_goes_scattered(self):
+        calls = self._routed_flags(3, pk_cap=2)
+        assert calls and not any(coh for coh, _, _ in calls)
+        assert all(scat for _, scat, _ in calls)
+
+    def test_per_light_packet_nee_bit_equals_scattered(self, monkeypatch):
+        """The per-light masked packet passes must reproduce the scattered
+        per-ray walk's shadow predicate exactly: identical rng consumption,
+        identical radiance.  Packets forced on the tiny frame via
+        _PK_MIN_PIXELS=0."""
+        from ptrt_tpu.render import integrator as ig
+        from ptrt_tpu.render import traverse as tv
+
+        geom, table, _ = _one_sphere_scene()
+        lights = LightTable.from_lights([
+            Light.point((3, 4, 1), (1, 1, 1), 3.0),
+            Light.point((-3, 4, 1), (1, 0.8, 0.6), 2.0),
+            Light.spot((0, 6, 3), (0, -1, 0), (1, 1, 1), 4.0,
+                       inner_cone=0.44, outer_cone=0.7),
+        ])
+        sky = SkyConfig.gradient()
+        h, w = 16, 16
+        state = prng.seed(
+            jnp.arange(h * w).reshape(h, w) % 83,
+            jnp.arange(h * w).reshape(h, w) // 83, 5)
+        xs = (jnp.arange(w, dtype=jnp.float32) - w / 2) / w
+        ys = (jnp.arange(h, dtype=jnp.float32)[:, None] - h / 2) / h
+        d = normalize(Vec3(jnp.broadcast_to(xs, (h, w)) * 0.8,
+                           jnp.broadcast_to(ys, (h, w)) * 0.8,
+                           jnp.ones((h, w))))
+        ray = RayBatch.make(Vec3.zeros((h, w)), d, jnp.ones((h, w), bool))
+
+        def run():
+            _, out = trace_path(geom, table, lights, 3, sky, ray, state,
+                                max_depth=3, unroll=True, pixel_grid=True)
+            return (np.asarray(out.radiance.x), np.asarray(out.radiance.y),
+                    np.asarray(out.rays_traced))
+
+        monkeypatch.setattr(ig, "NEE_PK_LIGHTS", 0)  # scattered reference
+        ref_x, ref_y, ref_rays = run()
+        monkeypatch.setattr(ig, "NEE_PK_LIGHTS", 8)
+        monkeypatch.setattr(tv, "_PK_MIN_PIXELS", 0)
+        pk_x, pk_y, pk_rays = run()
+        np.testing.assert_array_equal(pk_x, ref_x)
+        np.testing.assert_array_equal(pk_y, ref_y)
+        assert ref_rays == pk_rays
 
 
 class TestBounceCompaction:

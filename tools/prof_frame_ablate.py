@@ -61,12 +61,14 @@ def make_fakes(kill_scattered, kill_coherent):
         return real_closest(geom, o, d, t_max, coherent=coherent,
                             scattered=scattered)
 
-    def fa(geom, o, d, t_f, coherent=False, scattered=False):
+    def fa(geom, o, d, t_f, coherent=False, scattered=False,
+           light_id=None, n_light_groups=0):
         if (scattered and kill_scattered) or (coherent and kill_coherent):
             return jnp.zeros(jnp.broadcast_shapes(jnp.shape(o.x),
                                                   jnp.shape(t_f)), bool)
         return real_any(geom, o, d, t_f, coherent=coherent,
-                        scattered=scattered)
+                        scattered=scattered, light_id=light_id,
+                        n_light_groups=n_light_groups)
 
     return fc, fa
 
