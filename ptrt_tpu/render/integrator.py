@@ -236,6 +236,12 @@ def trace_path(geom, materials, lights, n_lights: int, sky: SkyConfig,
             geom, o, d, t,
             coherent=coh and pixel_grid and nee_pk_ok
             and (li is not None or n_lights == 1),
+            # multi-light coherent wavefronts intentionally fall back to the
+            # SCATTERED ladder profile when the packet path disengages
+            # (PTRT_PACKET_ANY=0 or below _PK_MIN_PIXELS): that matches the
+            # measured pre-routing behavior (multi-light NEE ran the
+            # scattered per-ray walk, TODO.md round-3 postmortem); only the
+            # single-light case keeps the camera profile for its tail.
             scattered=not (coh and n_lights == 1),
             light_id=li if n_lights > 1 else None, n_light_groups=n_lights))
     any_hit = make_any(False)

@@ -27,7 +27,11 @@ def _take3(v: Vec3, idx):
 def sample_light(state, lights: LightTable, n_lights: int, point: Vec3):
     """Pick one light uniformly and sample a direction to it.
 
-    Returns (state, L, pdf_sample, radiance, attenuation, light_dist).
+    Returns (state, L, pdf_sample, radiance, attenuation, light_dist, li)
+    where ``li`` is the per-lane sampled light index — the integrator routes
+    coherent multi-light shadow packets by it (one masked packet pass per
+    light keeps each packet's direction intervals aimed at a single target;
+    see integrator.py NEE routing and TODO.md round-4 session 3).
     """
     state, r = prng.uniform(state)
     r = jnp.minimum(r, 0.99999994)

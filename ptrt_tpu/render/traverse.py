@@ -1450,17 +1450,59 @@ def _packet_any_grid(gs, o: Vec3, d: Vec3, t_max, shape) -> jnp.ndarray:
         pending = unprep(jnp.logical_not(hit_p) & unfin[:, None]
                          & (t_p > 0.0))
         hit = unprep(hit_p)
-        t_ray = jnp.where(pending,
-                          jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
-                                           shape), -1.0)
-        hit_ray = _any_state(
-            gs, o.broadcast_to(shape).map(jnp.ravel),
-            d.broadcast_to(shape).map(jnp.ravel),
-            t_ray.reshape(-1), scattered=True,
-            skip_pass1=_PKA_HANDOFF_SHRINK >= ANY_SCATTER_SHRINK)
-        return hit | hit_ray.reshape(shape)
+        return hit | _per_ray_any_tail(gs, o, d, t_max, pending, shape)
     hit = pk.packet_any(gs, o_p, d_p, t_p)
     return unprep(hit)
+
+
+def _per_ray_any_tail(gs, o: Vec3, d: Vec3, t_max, pending,
+                      shape) -> jnp.ndarray:
+    """Shared per-ray any-hit tail for packet-handoff rays: walks only the
+    ``pending`` lanes (others enter dead with t = -1)."""
+    t_ray = jnp.where(pending,
+                      jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                       shape), -1.0)
+    hit_ray = _any_state(
+        gs, o.broadcast_to(shape).map(jnp.ravel),
+        d.broadcast_to(shape).map(jnp.ravel),
+        t_ray.reshape(-1), scattered=True,
+        skip_pass1=_PKA_HANDOFF_SHRINK >= ANY_SCATTER_SHRINK)
+    return hit_ray.reshape(shape)
+
+
+def _packet_any_heads_routed(gs, o: Vec3, d: Vec3, t_b, li_b,
+                             n_groups: int, shape):
+    """Per-light packet HEAD walks for routed NEE wavefronts.  Runs ONE
+    masked packet head per light group but accumulates the unfinished
+    pending lanes across groups so the caller can run a SINGLE shared
+    per-ray tail over the union — an n-light scene compiles n packet heads
+    + 1 tail instead of n of each (each embedded tail is a full-wavefront
+    walk body; program size and compile time scaled with n_light_groups).
+    Exact: a lane is pending only in its own group's head (other groups
+    mask it dead with t = -1), so the union tail computes the same per-lane
+    predicate as per-group tails did."""
+    from ptrt_tpu.render import packet as pk
+
+    prep, unprep = _grid_packet_ctx(shape, _PK_TH, _PK_TW)
+    o_p = o.map(lambda c: prep(c, 0.0))
+    d_p = d.map(lambda c: prep(c, 1.0))
+    hit_g = jnp.zeros(shape, bool)
+    pending_u = jnp.zeros(shape, bool)
+    for ell in range(n_groups):
+        sel = li_b == ell
+        t_p = prep(jnp.where(sel, t_b, -1.0), -1.0)
+        if _PKA_HANDOFF_SHRINK:
+            hit_p, unfin = pk.packet_any_partial(gs, o_p, d_p, t_p,
+                                                 shrink=_PKA_HANDOFF_SHRINK)
+            pend = unprep(jnp.logical_not(hit_p) & unfin[:, None]
+                          & (t_p > 0.0))
+            pending_u = pending_u | (pend & sel)
+        else:
+            hit_p = pk.packet_any(gs, o_p, d_p, t_p)
+        hit_g = jnp.where(sel, unprep(hit_p), hit_g)
+    if _PKA_HANDOFF_SHRINK:
+        hit_g = hit_g | _per_ray_any_tail(gs, o, d, t_b, pending_u, shape)
+    return hit_g
 
 
 def intersect_any(geom, o: Vec3, d: Vec3, t_max,
@@ -1499,11 +1541,8 @@ def intersect_any(geom, o: Vec3, d: Vec3, t_max,
     if use_pk and light_id is not None and n_light_groups > 1:
         t_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
         li_b = jnp.broadcast_to(light_id, shape)
-        hit_g = jnp.zeros(shape, bool)
-        for ell in range(n_light_groups):
-            sel = li_b == ell
-            h = _packet_any_grid(gs, o, d, jnp.where(sel, t_b, -1.0), shape)
-            hit_g = jnp.where(sel, h, hit_g)
+        hit_g = _packet_any_heads_routed(gs, o, d, t_b, li_b,
+                                         n_light_groups, shape)
     elif use_pk:
         hit_g = _packet_any_grid(gs, o, d, t_max, shape)
     o = o.broadcast_to(shape).map(lambda c: c.reshape(total))

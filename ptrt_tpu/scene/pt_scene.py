@@ -463,7 +463,7 @@ class Scene:
             spp, self.perf.max_bounce_depth,
             bool(self.perf.enable_denoiser), bool(self.perf.enable_bloom),
             len(self.lights), self._use_brute(),
-            self.env_map is not None,
+            self._sky().has_env_sampling,
             bool(self.perf.enable_russian_roulette),
             int(self.perf.russian_roulette_start_bounce),
             bool(self.perf.enable_motion_vectors),
@@ -490,7 +490,7 @@ class Scene:
         depth = int(self.perf.max_bounce_depth)
         n_lights = len(self.lights)
         brute = self._use_brute()
-        has_env = self.env_map is not None
+        has_env = self._sky().has_env_sampling
         rr_on = bool(self.perf.enable_russian_roulette)
         rr_start = int(self.perf.russian_roulette_start_bounce)
         cam_nee = bool(self.perf.camera_nee_fix)
@@ -544,7 +544,7 @@ class Scene:
             state, bufs = _trace_only(
                 rw, rh, self.perf.samples_per_pixel,
                 self.perf.max_bounce_depth, len(self.lights),
-                self._use_brute(), self.env_map is not None,
+                self._use_brute(), self._sky().has_env_sampling,
                 bool(self.perf.camera_nee_fix))(
                 self._geom, self._mat_table, self._light_table, self._sky(),
                 self.camera, self._rng_state, jnp.int32(self.frame_count),
@@ -655,6 +655,10 @@ def _wireframe_program(width: int, height: int, use_brute: bool):
 
 def _trace_only(rw, rh, spp, depth, n_lights, use_brute, has_env,
                 camera_nee=True):
+    # has_env participates ONLY in the cache key; the traced program decides
+    # env-NEE from sky.has_env_sampling (integrator.py:193), so callers MUST
+    # pass sky.has_env_sampling (not `env_map is not None`) to keep the key
+    # aligned with the predicate the program actually branches on.
     key = (rw, rh, spp, depth, n_lights, use_brute, has_env, camera_nee)
     if key not in _trace_cache:
         def fn(geom, mats, lights, sky, camera, rng_state, frame_idx, bn):

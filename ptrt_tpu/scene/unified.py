@@ -8,10 +8,12 @@ dirty-marking, ``Keyframe``/``EaseType`` animation, the ``UnifiedScene``
 store, and builders into either backend (``build_pt_scene`` /
 ``update_pt_scene`` / ``build_rt_scene`` / ``update_rt_scene``).
 
-One improvement over the reference: the backend choice is a runtime call,
+Two improvements over the reference: the backend choice is a runtime call,
 not a compile-time macro (``PTRTtransfer.cuh:11-18``), and both backends can
-coexist.  Area lights keep the reference's degraded point-light sampling
-(``PTRTtransfer.cuh:1833,2178,2359`` — documented defect, kept for parity).
+coexist.  And area lights get REAL rectangle sampling (solid-angle pdf with
+MIS, render/nee.py:81-92) instead of the reference's silent Area->Point
+degradation (``PTRTtransfer.cuh:1833,2178,2359`` — documented defect; see
+tests/test_area_lights.py and docs/fidelity.md for before/after).
 
 The material preset library lives in scene/materials.py (UnifiedMaterial and
 the backend Material are the same 17 fields; this module aliases it).

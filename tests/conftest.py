@@ -33,6 +33,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+# Test tiers (pytest.ini): modules whose tests build FULL-FRAME XLA programs
+# (trace+denoise+bloom pipelines, fused game loops, golden renders, viewers)
+# compile for minutes each on a 1-core CPU host and form the opt-in `slow`
+# tier; everything else is the `fast` pre-commit gate.
+_SLOW_MODULES = {"test_pipeline", "test_fused", "test_viewer", "test_golden"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        tier = "slow" if mod in _SLOW_MODULES else "fast"
+        item.add_marker(getattr(pytest.mark, tier))
+
+
 @pytest.fixture
 def rtol():
     return 1e-5
