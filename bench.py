@@ -36,7 +36,7 @@ def _run_measured(sc, spp, depth, frames):
 
     rh, rw = sc.render_size
     fn = _trace_only(rw, rh, spp, depth, len(sc.lights), sc._use_brute(),
-                     sc.env_map is not None)
+                     sc._sky().has_env_sampling)
 
     def one_frame(i):
         state, bufs = fn(sc._geom, sc._mat_table, sc._light_table, sc._sky(),
@@ -57,6 +57,91 @@ def _run_measured(sc, spp, depth, frames):
         total_rays += float(bufs.rays_traced)
     jax.block_until_ready(bufs.color.x)
     return compile_s, time.time() - t0, total_rays
+
+
+def _time_fn(call, frames=2):
+    """Time `call(i)` for `frames` frames (after one warm/compile call),
+    forcing a host fetch so axon's early block_until_ready can't lie."""
+    import jax.numpy as jnp
+
+    out = call(0)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for i in range(frames):
+        out = call(i + 1)
+    jax.block_until_ready(out)
+    np.asarray(jnp.sum(out if not isinstance(out, tuple) else out[0]))
+    return (time.time() - t0) / frames
+
+
+def _phase_probes(sc, depth):
+    """Per-phase device-time attribution + roofline anchors (VERDICT r4 #2).
+
+    The frame is ONE fused XLA program, so phases are attributed by
+    differencing a ladder of spp=1 trace programs:
+      d1 camera_nee=False  = camera closest walk + primary shade
+      d1                   = + bounce-0 NEE (camera shadow any walk)
+      d2                   = + 1 scattered bounce (closest+NEE+BSDF)
+      d<depth>             = + remaining bounces
+    Roofline anchors measured on the live device:
+      hbm_copy_gbps   — achieved HBM bandwidth of a big elementwise op
+                        (read+write), the practical bandwidth peak;
+      gather_ns_idx   — per-index cost of a random row gather from the
+                        scene's real node table (the walk's currency: one
+                        walk iteration = 1 node-row + ~1/3 leaf-row gather).
+    Together with the phase table these place each walk against the gather
+    issue-rate floor: phase_ms / rays ~= indices/ray x gather_ns_idx.
+    """
+    import jax.numpy as jnp
+    from ptrt_tpu.scene.pt_scene import _trace_only
+
+    rh, rw = sc.render_size
+    has_env = sc._sky().has_env_sampling
+    nl = len(sc.lights)
+    brute = sc._use_brute()
+
+    def trace_ms(d, camera_nee=True):
+        fn = _trace_only(rw, rh, 1, d, nl, brute, has_env, camera_nee)
+
+        def call(i):
+            _, bufs = fn(sc._geom, sc._mat_table, sc._light_table, sc._sky(),
+                         sc.camera, sc._rng_state, jnp.int32(1000 + i),
+                         sc._blue_noise)
+            return bufs.color.x
+        return _time_fn(call) * 1e3
+
+    phases = {}
+    d1n = trace_ms(1, camera_nee=False)
+    d1 = trace_ms(1)
+    d2 = trace_ms(min(2, depth))
+    dfull = trace_ms(depth) if depth > 2 else d2
+    phases["spp1_camera_ms"] = round(d1n, 1)
+    phases["spp1_camera_nee_ms"] = round(max(d1 - d1n, 0.0), 1)
+    phases["spp1_bounce1_ms"] = round(max(d2 - d1, 0.0), 1)
+    phases["spp1_deep_bounces_ms"] = round(max(dfull - d2, 0.0), 1)
+    phases["spp1_total_ms"] = round(dfull, 1)
+
+    # roofline anchors
+    big = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MB
+    cp = jax.jit(lambda x: x + 1.0)
+    dt = _time_fn(lambda i: cp(big))
+    phases["hbm_copy_gbps"] = round(2 * big.size * 4 / dt / 1e9, 1)
+
+    nrows = int(sc_node_rows(sc).shape[0])
+    idx = jnp.asarray((np.random.default_rng(0)
+                       .integers(0, nrows, 1 << 20)).astype(np.int32))
+    ga = jax.jit(lambda i: jnp.sum(jnp.take(sc_node_rows(sc), i, axis=0)))
+    dt = _time_fn(lambda k: ga(idx))
+    phases["gather_ns_idx"] = round(dt / idx.size * 1e9, 2)
+    # achieved gather bandwidth vs copy peak: one gathered node row is
+    # 64 floats = 256 B
+    phases["gather_gbps"] = round(idx.size * 256 / dt / 1e9, 1)
+    return phases
+
+
+def sc_node_rows(sc):
+    g = sc._geom
+    return (g.static if hasattr(g, "static") else g).node_rows
 
 
 def main() -> None:
@@ -132,6 +217,14 @@ def main() -> None:
             }), flush=True)
             return
 
+    phases = None
+    if int(os.environ.get("PTRT_BENCH_PHASES", 1)):
+        try:
+            phases = _phase_probes(sc, depth)
+        except Exception as e:  # noqa: BLE001 — attribution must not kill
+            sys.stderr.write(f"phase probes failed: {e}\n")
+            phases = {"error": str(e)[:200]}
+
     fps = frames / dt
     mrays = total_rays / dt / 1e6
     result = {
@@ -150,6 +243,8 @@ def main() -> None:
             "retried": retried,
         },
     }
+    if phases is not None:
+        result["extra"]["phases"] = phases
     print(json.dumps(result))
 
 

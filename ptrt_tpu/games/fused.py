@@ -87,7 +87,7 @@ class FusedRunner:
             # always the BVH path: the fused world carries instances only
             # in the batched InstanceSet (the brute fallback walks the
             # host-side per-instance list, which a fused frame doesn't have)
-            False, scene.env_map is not None,
+            False, scene._sky().has_env_sampling,
             bool(p.enable_russian_roulette),
             int(p.russian_roulette_start_bounce),
             bool(p.enable_motion_vectors),
@@ -106,11 +106,18 @@ class FusedRunner:
             g = iset0.geom
             llo, lhi = local_lo, local_hi
             if drv.refits:
+                from ptrt_tpu.geometry.lbvh import lbvh_update
                 from ptrt_tpu.geometry.refit import (refit_apply,
                                                      refit_root_aabb)
 
                 for idx, (v0, v1, v2) in sorted(drv.refits.items()):
-                    g = refit_apply(g, plans[idx], v0, v1, v2)
+                    # meshes flagged device_lbvh get the Morton-sorted
+                    # in-frame rebuild (geometry/lbvh.py) — per-frame
+                    # topology re-shapes never leave the device
+                    if dyn[idx].device_lbvh:
+                        g = lbvh_update(g, plans[idx], v0, v1, v2)
+                    else:
+                        g = refit_apply(g, plans[idx], v0, v1, v2)
                     rlo, rhi = refit_root_aabb(g, plans[idx])
                     llo = llo.at[idx].set(rlo)
                     lhi = lhi.at[idx].set(rhi)

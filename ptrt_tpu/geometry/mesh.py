@@ -21,6 +21,12 @@ from ptrt_tpu.geometry.transform import AABB, Transform3D, _rot_xyz
 
 
 class Mesh:
+    # class-level default (some factories build via __new__): True opts a
+    # dynamic mesh's per-frame refills into the Morton-sorted DEVICE
+    # rebuild (geometry/lbvh.py) instead of a plain AABB refit — keeps
+    # tree quality under arbitrary re-shapes, still zero host work
+    device_lbvh = False
+
     def __init__(self, path: str | None = None):
         self.transform = Transform3D()
         self.is_dynamic = False

@@ -109,18 +109,26 @@ def build_refit_plan(geom: SceneGeometry, order: np.ndarray | None = None,
 
 def refit_apply(geom: SceneGeometry, plan: RefitPlan,
                 v0: jnp.ndarray, v1: jnp.ndarray,
-                v2: jnp.ndarray) -> SceneGeometry:
+                v2: jnp.ndarray, slot_tri_dev=None) -> SceneGeometry:
     """Refit one mesh's BLAS inside ``geom`` from new vertices (device).
 
     ``v0``/``v1``/``v2``: (T, 3) triangle vertices in ORIGINAL triangle
     order (T = the mesh's triangle count at build time — topology fixed).
     Returns a new SceneGeometry with that mesh's tri rows, node AABBs and
     SoA mirrors replaced; everything else untouched.
+
+    ``slot_tri_dev``: optional DEVICE (M,) int32 slot->triangle map
+    overriding the plan's static one (pads must stay pads).  Used by the
+    Morton-sorted device rebuild (geometry/lbvh.py) to re-assign
+    triangles to slots per frame; valid because every slot of this BLAS
+    shares one mesh id, so the per-slot packed ids and SoA id mirrors
+    stay correct under reordering.
     """
-    st = jnp.asarray(plan.slot_tri)
+    st = (jnp.asarray(plan.slot_tri) if slot_tri_dev is None
+          else slot_tri_dev)
     pad = st < 0
     idx = jnp.maximum(st, 0)
-    M = st.shape[0]
+    M = plan.slot_tri.shape[0]
     B = plan.num_blocks
 
     pv0 = jnp.where(pad[:, None], 0.0, jnp.take(v0, idx, axis=0))

@@ -71,6 +71,18 @@ class DenoiserSettings:
     use_object_ids: bool = True
     enable_firefly_suppression: bool = True
     enable_split_denoising: bool = True
+    # Specular history control from the roughness/transmission G-buffers
+    # (the reference carries them for exactly this, ``scene.cuh:118-127``):
+    # mirror-like surfaces see view-dependent radiance that surface motion
+    # vectors do NOT reproject, so their history cap shrinks toward 1 as
+    # roughness -> 0 (full cap at roughness >= spec_roughness_ref); the
+    # temporal alpha floor 1/(cap+1) then blends new frames in fast enough
+    # that moving-camera reflections stop ghosting.  Transmissive surfaces
+    # (refraction, also view-dependent) are capped at
+    # transmissive_history_cap.  Diffuse history is untouched.
+    spec_roughness_history: bool = True
+    spec_roughness_ref: float = 0.35
+    transmissive_history_cap: float = 2.0
 
 
 DEFAULT_SETTINGS = DenoiserSettings()
@@ -263,8 +275,14 @@ def _edge_aware_bilinear(bufs, prev_depth, prev_normal: Vec3, prev_obj,
 
 def temporal_accumulation(cur: Vec3, hist: ChannelHistory, mvx, mvy, depth,
                           normal: Vec3, obj_id, state: DenoiserState,
-                          ch: ChannelSettings, cfg: DenoiserSettings):
-    """``temporal_accumulation_kernel`` (``denoiser.cuh:426-584``)."""
+                          ch: ChannelSettings, cfg: DenoiserSettings,
+                          hist_cap=None):
+    """``temporal_accumulation_kernel`` (``denoiser.cuh:426-584``).
+
+    ``hist_cap``: optional per-pixel history-length cap (the specular
+    channel passes a roughness/transmission-derived cap, see
+    ``DenoiserSettings.spec_roughness_history``); defaults to the
+    channel's scalar ``max_history``."""
     h, w = depth.shape
     shape = (h, w)
 
@@ -334,6 +352,10 @@ def temporal_accumulation(cur: Vec3, hist: ChannelHistory, mvx, mvy, depth,
                       hist_mean)
 
     # variance-adaptive alpha (denoiser.cuh:566-578)
+    cap = ch.max_history if hist_cap is None else hist_cap
+    # clamp BEFORE the alpha so a shrunken per-pixel cap (camera swung onto
+    # a mirror, material edit) raises the alpha floor 1/(cap+1) immediately
+    hist_len = jnp.minimum(hist_len, cap)
     var = vmax(hist_m2 - hist_mean * hist_mean, Vec3.full(0.0))
     std_approx = (jnp.sqrt(var.x) + jnp.sqrt(var.y) + jnp.sqrt(var.z)) / 3.0
     variance_alpha = std_approx / (std_approx + ch.tau)
@@ -341,8 +363,7 @@ def temporal_accumulation(cur: Vec3, hist: ChannelHistory, mvx, mvy, depth,
     alpha = jnp.clip(jnp.maximum(variance_alpha, history_alpha), ch.min_alpha,
                      1.0)
     alpha = jnp.where(valid, alpha, 1.0)
-    new_len = jnp.where(valid, jnp.minimum(hist_len + 1.0, ch.max_history),
-                        1.0)
+    new_len = jnp.where(valid, jnp.minimum(hist_len + 1.0, cap), 1.0)
 
     out_mean = hist_mean * (1.0 - alpha) + cur * alpha
     out_m2 = hist_m2 * (1.0 - alpha) + cur * cur * alpha
@@ -458,7 +479,8 @@ def atrous_iteration(img: Vec3, variance, depth, normal: Vec3, obj_id,
 
 def denoise_channel(src: Vec3, hist: ChannelHistory, mvx, mvy, depth,
                     normal: Vec3, obj_id, state: DenoiserState,
-                    ch: ChannelSettings, cfg: DenoiserSettings):
+                    ch: ChannelSettings, cfg: DenoiserSettings,
+                    hist_cap=None):
     """``Denoiser::denoiseChannel`` (``denoiser.cuh:884-971``)."""
     if cfg.enable_firefly_suppression:
         src = firefly_suppression(src, depth, normal, ch.firefly_threshold,
@@ -473,7 +495,8 @@ def denoise_channel(src: Vec3, hist: ChannelHistory, mvx, mvy, depth,
     )
 
     new_hist = temporal_accumulation(src, hist, mvx, mvy, depth, normal,
-                                     obj_id, state, ch, cfg)
+                                     obj_id, state, ch, cfg,
+                                     hist_cap=hist_cap)
     variance = estimate_variance(new_hist, depth, normal, obj_id, cfg)
 
     img = new_hist.mean
@@ -493,13 +516,27 @@ def denoise_frame(bufs, mv, state: DenoiserState, camera, frame_idx,
     normal = bufs.normal
     obj_id = bufs.object_id
 
+    spec_cap = None
+    if settings.spec_roughness_history:
+        # roughness/transmission-driven specular history cap
+        # (``scene.cuh:118-127`` G-buffers, consumed here): mirror-like or
+        # transmissive pixels keep almost no history because their radiance
+        # is view-dependent and surface motion vectors mis-reproject it
+        rf = jnp.clip(bufs.roughness / max(settings.spec_roughness_ref,
+                                           1e-3), 0.0, 1.0)
+        spec_cap = 1.0 + rf * (settings.specular.max_history - 1.0)
+        spec_cap = jnp.where(
+            bufs.transmission > 0.5,
+            jnp.minimum(spec_cap, settings.transmissive_history_cap),
+            spec_cap)
+
     if settings.enable_split_denoising:
         out_d, hist_d = denoise_channel(
             bufs.diffuse, state.diffuse, mvx, mvy, depth, normal, obj_id,
             state, settings.diffuse, settings)
         out_s, hist_s = denoise_channel(
             bufs.specular, state.specular, mvx, mvy, depth, normal, obj_id,
-            state, settings.specular, settings)
+            state, settings.specular, settings, hist_cap=spec_cap)
         out = out_d + out_s + bufs.emission
     else:
         out, hist_d = denoise_channel(

@@ -824,6 +824,8 @@ def _closest_state(geom: SceneGeometry, o: Vec3, d: Vec3, t0,
                    scattered: bool = False) -> dict:
     """Walk + one-time attribute reconstruction (t/u/v/nrm/mesh), with
     ``nrm`` in the geometry's own (possibly instance-local) space."""
+    if scattered and SORTPK and jnp.size(t0) >= SORTPK_MIN_LANES:
+        return _sorted_packet_closest_state(geom, o, d, t0)
     return _reconstruct_hit(
         geom, o, d, _walk_closest_raw(geom, o, d, t0, scattered=scattered))
 
@@ -1169,6 +1171,91 @@ def _hybrid_closest_state(gs, o: Vec3, d: Vec3, t0, raw_pk: dict) -> dict:
         "t": jnp.where(closer, s_ray["t"], raw_pk["t"]),
         "best": jnp.where(closer, s_ray["best"], raw_pk["best"]),
     })
+
+
+# -- sorted-packet scattered walks (round-5 architecture experiment) ---------
+#
+# Scattered bounce walks are ~81% of a d4 frame and sit near the per-ray
+# gather-model floor (TODO.md).  Packets amortize every gathered row over
+# 64 rays but need coherent sign/locality — which a bounce wavefront can
+# be GIVEN by binning: sort lanes by (direction octant | origin-cell
+# Morton), walk 64-lane packets of the sorted order (conservative, exact),
+# finish stragglers with the per-ray ladder tail, unsort.  Round-1
+# rejected ray sorting, but that predates fused row transport (a full
+# permutation is now ~1 row gather) and it sorted the WALK, not a packet
+# head.  Gated off until the TPU sweep (tools/probe_sortpk_r5.py) proves
+# the win; exactness is covered by tests either way.
+SORTPK = _env_int("PTRT_SORTPK", 0, 0, 1)
+SORTPK_MIN_LANES = _env_int("PTRT_SORTPK_MIN", 262144, 0, 1 << 30)
+_SPK_SHRINK = _env_int("PTRT_SORTPK_SHRINK", 16, 2, 256)
+_SPK_CELL_BITS = _env_int("PTRT_SORTPK_CB", 6, 1, 10)
+
+
+def _sortpk_key(gs, o: Vec3, d: Vec3, t0, cell_bits: int):
+    """(octant | morton(origin cell)) int32 lane key; dead lanes last."""
+    root = gs.node_rows[0]
+    bmin = [jnp.min(root[a * 8:(a + 1) * 8]) for a in range(3)]
+    bmax = [jnp.max(root[24 + a * 8:24 + (a + 1) * 8]) for a in range(3)]
+    n = (1 << cell_bits) - 1
+    cells = []
+    for a, c in enumerate((o.x, o.y, o.z)):
+        f = (c - bmin[a]) / jnp.maximum(bmax[a] - bmin[a], 1e-6)
+        cells.append(jnp.clip((f * (n + 1)).astype(jnp.int32), 0, n))
+    m = jnp.zeros_like(cells[0])
+    for b in range(cell_bits):
+        m = (m
+             | (((cells[0] >> b) & 1) << (3 * b))
+             | (((cells[1] >> b) & 1) << (3 * b + 1))
+             | (((cells[2] >> b) & 1) << (3 * b + 2)))
+    key = (_ray_octant(d) << (3 * cell_bits)) | m
+    return jnp.where(t0 > 0.0, key, jnp.int32(2 ** 30))
+
+
+def _sorted_packet_closest_state(gs, o: Vec3, d: Vec3, t0) -> dict:
+    """Closest-hit over a SCATTERED wavefront via binned packets:
+    sort -> packet head -> per-ray tail -> unsort.  Exact (packets are
+    conservative; the tail restarts pending rays with the tightened t)."""
+    from ptrt_tpu.render import packet as pk
+
+    R = jnp.size(t0)
+    P = pk.PACKET_SIZE
+    # pad to a packet multiple with dead lanes
+    Rp = -(-R // P) * P
+    if Rp != R:
+        padc = lambda c, v: jnp.concatenate(
+            [c, jnp.full((Rp - R,), v, c.dtype)])
+        o = o.map(lambda c: padc(c, 0.0))
+        d = d.map(lambda c: padc(c, 1.0))
+        t0p = padc(t0, -1.0)
+    else:
+        t0p = t0
+    perm = jnp.argsort(
+        _sortpk_key(gs, o, d, t0p, _SPK_CELL_BITS)).astype(jnp.int32)
+    take = lambda a: jnp.take(a, perm, axis=0)
+    o_s, d_s, t_s = o.map(take), d.map(take), take(t0p)
+
+    shp = (Rp // P, P)
+    rp = lambda a: a.reshape(shp)
+    s, unfin = pk.packet_closest_partial(
+        gs, o_s.map(rp), d_s.map(rp), rp(t_s), shrink=_SPK_SHRINK)
+    t_pk = s["t"].reshape(-1)
+    best_pk = s["best"].reshape(-1)
+    unfin_rays = jnp.broadcast_to(unfin[:, None], shp).reshape(-1)
+
+    t_restart = jnp.where(unfin_rays & (t_s > 0.0), t_pk, -1.0)
+    eff_shrink = SCATTER_SHRINK or max(BIG_COMPACT_SHRINK, COMPACT_SHRINK)
+    s_ray = _walk_closest_raw(gs, o_s, d_s, t_restart, scattered=True,
+                              skip_pass1=_SPK_SHRINK >= eff_shrink)
+    closer = s_ray["best"] >= 0
+    t_m = jnp.where(closer, s_ray["t"], t_pk)
+    best_m = jnp.where(closer, s_ray["best"], best_pk)
+    inv = jnp.zeros((Rp,), jnp.int32).at[perm].set(
+        jnp.arange(Rp, dtype=jnp.int32))
+    t_u = jnp.take(t_m, inv, axis=0)[:R]
+    best_u = jnp.take(best_m, inv, axis=0)[:R]
+    o_r = o.map(lambda c: c[:R])
+    d_r = d.map(lambda c: c[:R])
+    return _reconstruct_hit(gs, o_r, d_r, {"t": t_u, "best": best_u})
 
 
 def intersect_closest(geom, o: Vec3, d: Vec3, t_max=T_MAX,

@@ -53,6 +53,31 @@ def test_fused_fluid_refit_smoke():
     assert np.isfinite(np.asarray(state.height)).all()
 
 
+def test_fused_fluid_lbvh_smoke():
+    """Same fused fluid loop with the heightfield flagged device_lbvh:
+    the in-frame rebuild is the Morton-sorted device build
+    (geometry/lbvh.py) — VERDICT r4 #4's zero-host-rebuild dynamic
+    topology, driven end-to-end inside the jitted frame."""
+    from ptrt_tpu.games import fluid as fl
+    from ptrt_tpu.games.fused import FusedRunner
+
+    u, scene, state = fl.build_scene(96, 64, 8)
+    scene.set_performance_preset("fast")
+    for m in scene.meshes:
+        if m.is_dynamic:
+            m.device_lbvh = True
+    runner = FusedRunner(
+        scene,
+        step_fn=lambda s, dt_: fl.step(s, dt_, jnp.float32(6.0),
+                                       jnp.float32(0.995)),
+        derive_fn=fl.derive_scene)
+    dt_ = jnp.float32(1.0 / 30.0)
+    state, fps, rgb8 = runner.run(state, lambda i: dt_, 2)
+    assert rgb8.shape == (64, 96, 3)
+    assert np.isfinite(np.asarray(state.height)).all()
+    assert rgb8.max() > 0
+
+
 def test_fused_tycoon_placement(monkeypatch):
     """Fused tycoon: placement/demolition are device-side actions inside
     the jitted frame — economy and visibility must respond without any

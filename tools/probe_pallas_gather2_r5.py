@@ -2,9 +2,15 @@
 (the round-1 assertion said indices shape must match input shape) + timing of
 the in-kernel one-hot MXU fetch vs the XLA gather baseline.
 """
+import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PTRT_JAX_CACHE", "/tmp/ptrt_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -60,11 +66,24 @@ def probe_take_same_n():
     return mk(kernel)
 
 
+def _steps():
+    import os
+    return os.environ.get("STEP", "all")
+
+
 if __name__ == "__main__":
-    print("jax", jax.__version__, jax.devices())
-    ok1 = run_probe("take_along_axis axis=0, R==K", probe_taa_same_shape)
-    run_probe("take_along_axis axis=1 (lane gather)", probe_taa_axis1)
-    run_probe("jnp.take axis=0, R==K", probe_take_same_n)
+    import os
+    step = os.environ.get("STEP", "all")
+    print("jax", jax.__version__, jax.devices(), "STEP:", step, flush=True)
+    ok1 = False
+    if step in ("all", "taa0"):
+        ok1 = run_probe("take_along_axis axis=0, R==K", probe_taa_same_shape)
+    if step in ("all", "taa1"):
+        run_probe("take_along_axis axis=1 (lane gather)", probe_taa_axis1)
+    if step in ("all", "take"):
+        run_probe("jnp.take axis=0, R==K", probe_take_same_n)
+    if step not in ("all", "time"):
+        raise SystemExit(0)
 
     # ---- timing: XLA gather baseline vs in-kernel variants -------------
     R = 1 << 20  # 1M lanes
@@ -89,10 +108,17 @@ if __name__ == "__main__":
     xla_gather = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
     timeit("XLA gather       (1M idx, 2048x64 tbl)", xla_gather, table, idx)
 
-    xla_onehot = jax.jit(lambda t, i: jnp.dot(
-        (jax.lax.broadcasted_iota(jnp.int32, (R, KT), 1) == i[:, None]
-         ).astype(jnp.bfloat16),
-        t.astype(jnp.bfloat16), preferred_element_type=jnp.float32))
+    # XLA one-hot, TILED via scan so the (R, KT) one-hot never materializes
+    # at full R (8 GB); per-tile (8192, 2048) bf16 = 32 MB
+    TT = 8192
+
+    def _oh_tile(c, it):
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (TT, KT), 1)
+              == it[:, None]).astype(jnp.bfloat16)
+        return c, jnp.dot(oh, c, preferred_element_type=jnp.float32)
+
+    xla_onehot = jax.jit(lambda t, i: jax.lax.scan(
+        _oh_tile, t.astype(jnp.bfloat16), i.reshape(R // TT, TT))[1])
     timeit("XLA one-hot bf16 (1M idx, 2048x64 tbl)", xla_onehot, table, idx)
 
     # tiled in-kernel one-hot: grid over lane tiles, table resident in VMEM
@@ -122,7 +148,7 @@ if __name__ == "__main__":
     except Exception as e:  # noqa: BLE001
         print("pallas one-hot timing failed:", str(e)[:120])
 
-    if ok1:
+    if ok1 or os.environ.get("FORCE_TAA"):
         # timing for the same-shape take_along_axis in-kernel gather
         def taa_kernel(t_ref, i_ref, o_ref):
             idx2 = jnp.broadcast_to(i_ref[:][:, None], (TR, 64))

@@ -146,8 +146,10 @@ def main():
     ms = timeit(sortonly, oo, dd, t0) * 1e3
     print(f"sort+1-array-permute only:         {ms:8.1f} ms", flush=True)
 
-    for cb in (int(x) for x in os.environ.get("CB", "5,6,7").split(",")):
-        for shr in (int(x) for x in os.environ.get("SHR", "8,16").split(",")):
+    # keep the default grid small: each variant is a fresh multi-minute
+    # compile on this 1-core host (widen via CB=5,6,7 SHR=8,16,32)
+    for cb in (int(x) for x in os.environ.get("CB", "6").split(",")):
+        for shr in (int(x) for x in os.environ.get("SHR", "16,8").split(",")):
             f = jax.jit(lambda O, D, T, cb=cb, shr=shr: sorted_packet_closest(
                 g, O, D, T, cell_bits=cb, pk_shrink=shr)[0])
             ms = timeit(f, oo, dd, t0) * 1e3
@@ -155,6 +157,17 @@ def main():
             mism = int((~np.isclose(got, t_ref, rtol=1e-5, atol=1e-5)).sum())
             print(f"sorted-packet cb={cb} shrink={shr:3d}: {ms:8.1f} ms  "
                   f"mismatches={mism}", flush=True)
+
+    # the PRODUCT integration (traverse._sorted_packet_closest_state)
+    tv.SORTPK = 1
+    fprod = jax.jit(lambda O, D, T: tv._sorted_packet_closest_state(
+        g, O, D, T)["t"])
+    ms = timeit(fprod, oo, dd, t0) * 1e3
+    got = np.asarray(fprod(oo, dd, t0))
+    mism = int((~np.isclose(got, t_ref, rtol=1e-5, atol=1e-5)).sum())
+    print(f"product _sorted_packet_closest_state: {ms:8.1f} ms  "
+          f"mismatches={mism}", flush=True)
+    tv.SORTPK = 0
 
 
 if __name__ == "__main__":
