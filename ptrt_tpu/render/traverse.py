@@ -1180,11 +1180,17 @@ def _hybrid_closest_state(gs, o: Vec3, d: Vec3, t0, raw_pk: dict) -> dict:
 # 64 rays but need coherent sign/locality — which a bounce wavefront can
 # be GIVEN by binning: sort lanes by (direction octant | origin-cell
 # Morton), walk 64-lane packets of the sorted order (conservative, exact),
-# finish stragglers with the per-ray ladder tail, unsort.  Round-1
-# rejected ray sorting, but that predates fused row transport (a full
-# permutation is now ~1 row gather) and it sorted the WALK, not a packet
-# head.  Gated off until the TPU sweep (tools/probe_sortpk_r5.py) proves
-# the win; exactness is covered by tests either way.
+# finish stragglers with the per-ray ladder tail, unsort.
+#
+# MEASURED (round 5, tools/probe_sortpk_r5.py, TPU v5e, 2.07M bounce-1
+# rays / 1M tris): a clear LOSS — baseline per-ray ladder 230 ms;
+# jnp.argsort of the 2M keys + one permute alone is 125 ms (lax.sort
+# costs as much as the whole walk it was meant to accelerate); and the
+# binned packet heads still degenerate (cb=6/shrink=16: 8753 ms, 8: 5472
+# — surface-origin packets keep loose intervals even within a bin).
+# Exactness verified (0 mismatches) and pinned by
+# TestSortedPacketScattered, so the path stays available for future
+# hardware where sort is cheap relative to gather, but the default is OFF.
 SORTPK = _env_int("PTRT_SORTPK", 0, 0, 1)
 SORTPK_MIN_LANES = _env_int("PTRT_SORTPK_MIN", 262144, 0, 1 << 30)
 _SPK_SHRINK = _env_int("PTRT_SORTPK_SHRINK", 16, 2, 256)

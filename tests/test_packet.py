@@ -152,3 +152,40 @@ class TestPacketWalks:
             tv._PK_MIN_PIXELS = old
         diff = np.abs(img_ray.astype(int) - img_pk.astype(int))
         assert (diff > 2).mean() < 0.001, diff.max()
+
+
+class TestSortedPacketScattered:
+    def test_sorted_packet_closest_matches_per_ray(self, scene_geom,
+                                                   monkeypatch):
+        """Round-5 sorted-packet scattered path (traverse.PTRT_SORTPK):
+        binned packets + shared tail must reproduce the per-ray walk's
+        hits exactly (closest-t ties aside) — including dead lanes and a
+        non-multiple-of-64 wavefront (pad path)."""
+        sc, g = scene_geom
+        h, w = 32, 64
+        o, d = _camera_rays(sc, h, w)
+        hit0 = tv.intersect_closest(g, o, d)
+        # scattered bounce-like wavefront: origins on surfaces, random
+        # directions, ~40% dead lanes; odd count exercises padding
+        rng = np.random.default_rng(11)
+        n = h * w - 37
+        cut = lambda c: c[:n]
+        oo = Vec3(cut(hit0.point.x + hit0.normal.x * 1e-3),
+                  cut(hit0.point.y + hit0.normal.y * 1e-3),
+                  cut(hit0.point.z + hit0.normal.z * 1e-3))
+        dirs = rng.normal(size=(n, 3)).astype(np.float32)
+        nrm = np.linalg.norm(dirs, axis=1, keepdims=True)
+        dd = Vec3(*(jnp.asarray(dirs[:, k] / nrm[:, 0]) for k in range(3)))
+        live = np.asarray(cut(hit0.hit)) & (rng.uniform(size=n) > 0.4)
+        t0 = jnp.asarray(np.where(live, 1e30, -1.0).astype(np.float32))
+
+        base = tv._closest_state(g, oo, dd, t0, scattered=True)
+        monkeypatch.setattr(tv, "SORTPK", 1)
+        monkeypatch.setattr(tv, "SORTPK_MIN_LANES", 0)
+        srt = tv._closest_state(g, oo, dd, t0, scattered=True)
+        assert np.array_equal(np.asarray(base["mesh"] >= 0),
+                              np.asarray(srt["mesh"] >= 0))
+        msk = np.asarray(base["mesh"] >= 0)
+        assert msk.any()
+        np.testing.assert_allclose(np.asarray(base["t"])[msk],
+                                   np.asarray(srt["t"])[msk], rtol=1e-5)
