@@ -8,11 +8,20 @@ is returned in [-0.5, 0.5] pixel units, centered like the reference.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 TAA_SEQUENCE_LENGTH = 16
 
 # Halton(2,3) first 16 entries (``taa.cuh:19-37``).
-_HALTON_16 = jnp.array(
+#
+# Deliberately a NUMPY constant, not a jnp array: a module-level jax.Array
+# closed over by a jitted function is embedded into the program as an MLIR
+# constant via a DEVICE->HOST fetch of its value at LOWERING time.  Through
+# the axon dev tunnel that one fetch measured 547 s of a 557 s lowering of
+# the d2 bench trace program (tools/prof_compile_r5.py, round 5) — the
+# entire mystery "compile time" of every frame program.  A numpy constant
+# lowers through the fast host-side handler instead.
+_HALTON_16 = np.array(
     [
         [0.500000, 0.333333],
         [0.250000, 0.666667],
@@ -31,7 +40,7 @@ _HALTON_16 = jnp.array(
         [0.937500, 0.259259],
         [0.062500, 0.592593],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
@@ -42,7 +51,7 @@ def taa_jitter(frame_index):
     tiny gather, jit-safe.
     """
     idx = jnp.asarray(frame_index, jnp.int32) % TAA_SEQUENCE_LENGTH
-    h = _HALTON_16[idx]
+    h = jnp.asarray(_HALTON_16)[idx]
     return h[..., 0] - 0.5, h[..., 1] - 0.5
 
 

@@ -42,6 +42,8 @@ _SLOW_MODULES = {"test_pipeline", "test_fused", "test_viewer", "test_golden"}
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
+        if any(m.name in ("fast", "slow") for m in item.iter_markers()):
+            continue  # explicit per-test tier wins over the module default
         mod = item.module.__name__.rsplit(".", 1)[-1]
         tier = "slow" if mod in _SLOW_MODULES else "fast"
         item.add_marker(getattr(pytest.mark, tier))

@@ -1,0 +1,443 @@
+"""CUDA-independent fidelity cross-check (VERDICT r4, "what's weak" #3).
+
+The golden corpus pins DRIFT (renders vs our own committed renders); it
+cannot prove the radiometry was right in the first place.  This module
+provides the independent evidence:
+
+1. ``test_point_light_direct_analytic`` — direct lighting of a diffuse
+   floor by a point light has a CLOSED FORM per pixel (the multi-lobe
+   BSDF, MIS weight and range attenuation are all deterministic functions
+   of geometry once the light sample is a delta).  The engine's depth-1
+   render must match an analytic image computed here with plain numpy.
+
+2. ``test_numpy_tracer_agrees_gi`` — a from-scratch numpy wavefront path
+   tracer (``_np_trace`` below), written from the same reference formula
+   spec (``path_logic.cuh`` / ``pdf.cuh`` / ``pbr_utils.cuh`` citations
+   inline) but sharing NO code and NO random streams with
+   ``ptrt_tpu.render``, renders a Cornell-style box with multi-bounce GI.
+   Two independent Monte-Carlo estimators of the same integral must agree
+   within MC noise — a radiometry bug in either implementation (wrong
+   pdf, missing cosine, bad MIS, broken shadow rays) breaks the match.
+
+The numpy tracer intentionally mirrors the reference SEMANTICS the engine
+implements (one-sample NEE with power-2 MIS, emission only on primary /
+after-specular hits, ``(range/(range+d))^2`` attenuation, soft clamps
+50/500/100) so the two estimators target the same integral.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ptrt_tpu.scene.materials import Material
+from ptrt_tpu.scene.pt_scene import Scene, _trace_split
+
+# ---------------------------------------------------------------------------
+# independent numpy renderer
+# ---------------------------------------------------------------------------
+
+
+def _norm(v, eps=1e-20):
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def _dot(a, b):
+    return np.sum(a * b, axis=-1)
+
+
+def _camera_rays(cam_desc, w, h, u1, u2):
+    """RTIOW camera basis (``camera.cuh:95-121, 156-166``), numpy."""
+    lookfrom = np.asarray(cam_desc["from"], np.float64)
+    lookat = np.asarray(cam_desc["at"], np.float64)
+    vup = np.array([0.0, 1.0, 0.0])
+    vfov, aspect = cam_desc["vfov"], w / h
+    theta = np.deg2rad(vfov)
+    hh = np.tan(theta / 2.0)
+    vieww, viewh = aspect * 2 * hh, 2 * hh
+    wv = _norm(lookfrom - lookat)
+    uv = _norm(np.cross(vup, wv))
+    vv = np.cross(wv, uv)
+    horizontal = uv * vieww
+    vertical = vv * viewh
+    llc = lookfrom - horizontal / 2 - vertical / 2 - wv
+    ys, xs = np.mgrid[0:h, 0:w]
+    s = (xs + 0.5 + u1) / w  # u1/u2 in [-0.5, 0.5): pixel-area sampling
+    t = (ys + 0.5 + u2) / h
+    d = (llc + horizontal * s[..., None] + vertical * t[..., None]
+         - lookfrom)
+    return (np.broadcast_to(lookfrom, d.shape).astype(np.float32),
+            _norm(d).astype(np.float32))
+
+
+def _intersect(o, d, v0, e1, e2, t_min, t_max):
+    """Brute-force Möller–Trumbore over all triangles
+    (``intersection.cuh:219-255`` semantics: two-sided, inclusive
+    barycentric epsilon).  o, d: (R, 3); returns (t, tri_idx)."""
+    oo = o[:, None, :]
+    dd = d[:, None, :]
+    hv = np.cross(dd, e2[None])
+    a = _dot(e1[None], hv)
+    valid = np.abs(a) > 1e-9
+    f = 1.0 / np.where(valid, a, 1.0)
+    s = oo - v0[None]
+    u = f * _dot(s, hv)
+    q = np.cross(s, e1[None])
+    v = f * _dot(dd, q)
+    t = f * _dot(e2[None], q)
+    beps = 1e-6
+    ok = (valid & (u >= -beps) & (u <= 1 + beps) & (v >= -beps)
+          & (u + v <= 1 + beps) & (t > t_min)
+          & (t < (t_max[:, None] if np.ndim(t_max) else t_max)))
+    t = np.where(ok, t, np.inf)
+    idx = np.argmin(t, axis=1)
+    tbest = t[np.arange(len(o)), idx]
+    return np.where(np.isfinite(tbest), tbest, np.inf), idx
+
+
+def _fresnel3(c, f0):
+    """``pbr_utils.cuh:16-22``; c: (R,), f0: (R, 3) -> (R, 3)."""
+    f = 1.0 - np.clip(c, 0.0, 1.0)
+    f5 = (f * f) * (f * f) * f
+    return f0 + (1.0 - f0) * f5[:, None]
+
+
+def _ggx_d(ndoth, rough):
+    """``pbr_utils.cuh:37-48``."""
+    a2 = (rough * rough) ** 2
+    den = ndoth * ndoth * (a2 - 1.0) + 1.0
+    return a2 / np.maximum(np.pi * den * den, 1e-6)
+
+
+def _smith_g1(ndotx, rough):
+    """``pbr_utils.cuh:56-62``."""
+    r = rough + 1.0
+    k = r * r * 0.125
+    return ndotx / (ndotx * (1.0 - k) + k + 1e-6)
+
+
+def _soft_clamp(v, max_lum):
+    """Luminance-preserving soft clamp (``path_logic.cuh:44-52``)."""
+    lum = v @ np.array([0.2126, 0.7152, 0.0722])
+    sc = np.where((lum > max_lum) & (lum > 0), max_lum / np.maximum(
+        lum, 1e-30), 1.0)
+    return v * sc[:, None]
+
+
+def _onb(n):
+    """Frisvad frame (``sampling.cuh:73-91``)."""
+    s = np.where(n[:, 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[:, 2])
+    b = n[:, 0] * n[:, 1] * a
+    t = np.stack([1.0 + s * n[:, 0] ** 2 * a, s * b, -s * n[:, 0]], axis=1)
+    bt = np.cross(n, t)
+    return t, bt
+
+
+def _opaque_eval(n, l, v, albedo, f0, rough):
+    """``evaluateBSDF`` opaque branch (``path_logic.cuh:157-250``): returns
+    f * NdotL and the scatter pdf of ``l`` (``pdf.cuh:208-217``)."""
+    ndotv = np.maximum(_dot(n, v), 0.0)
+    ndotl_s = _dot(n, l)
+    ndotl = np.maximum(ndotl_s, 0.0)
+    h = _norm(l + v)
+    ndoth = np.maximum(_dot(n, h), 0.0)
+    vdoth = np.maximum(_dot(v, h), 0.0)
+    dterm = _ggx_d(ndoth, rough)
+    g = _smith_g1(ndotl, rough) * _smith_g1(ndotv, rough)
+    fr = _fresnel3(vdoth, f0)
+    spec = fr * (dterm * g / (4.0 * ndotv * ndotl + 0.001))[:, None]
+    kd = (1.0 - fr)
+    diffuse = kd * albedo / np.pi
+    f_cos = (diffuse + spec) * ndotl[:, None]
+    dead = (ndotv <= 0.0) | (ndotl_s <= 0.0)
+    f_cos[dead] = 0.0
+    # scatter pdf of l: specular_prob = max Fresnel at ndotv (metal = 0)
+    f_base = _fresnel3(ndotv, f0)
+    sp = np.max(f_base, axis=1)
+    pdf_spec = dterm * ndoth / (4.0 * vdoth + 1e-6)
+    pdf = sp * pdf_spec + (1.0 - sp) * ndotl / np.pi
+    pdf = np.where((ndotl_s > 0.0) & (ndotv > 0.0), pdf, 0.0)
+    return f_cos, pdf
+
+
+def _np_trace(scene, cam_desc, w, h, spp, depth, rng):
+    """Independent wavefront path tracer in numpy.  Mirrors the reference
+    semantics (one-sample NEE + power-2 MIS ``path_logic.cuh:840-857``,
+    emission gating ``:831-836``, clamps ``:24-29``) with its OWN random
+    streams; lambertian+GGX opaque materials only."""
+    v0, e1, e2 = scene["v0"], scene["e1"], scene["e2"]
+    mesh_id = scene["mesh_id"]
+    albedo = scene["albedo"]
+    f0 = scene["f0"]
+    rough = scene["rough"]
+    emission = scene["emission"]
+    lpos = np.asarray(scene["light_pos"], np.float32)
+    lrad = np.asarray(scene["light_radiance"], np.float32)  # color*intensity
+    lrange = float(scene["light_range"])
+
+    acc = np.zeros((h * w, 3), np.float64)
+    for _ in range(spp):
+        u1, u2 = rng.random((h, w)) - 0.5, rng.random((h, w)) - 0.5
+        o, d = _camera_rays(cam_desc, w, h, u1, u2)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        throughput = np.ones((h * w, 3), np.float32)
+        radiance = np.zeros((h * w, 3), np.float32)
+        alive = np.ones(h * w, bool)
+        prev_spec = np.ones(h * w, bool)  # camera "specular" flag semantics
+        for bounce in range(depth):
+            t, ti = _intersect(o, d, v0, e1, e2, 1e-4,
+                               np.full(len(o), 1e30))
+            hit = np.isfinite(t) & alive
+            alive = hit
+            if not alive.any():
+                break
+            p = o + d * t[:, None]
+            ng = _norm(np.cross(e1[ti], e2[ti]))
+            front = _dot(d, ng) < 0.0
+            n = np.where(front[:, None], ng, -ng)
+            m = mesh_id[ti]
+            alb, sf0, rgh = albedo[m], f0[m], rough[m]
+            emi = emission[m]
+
+            # emission only on primary / after-specular (path_logic:831-836)
+            emit_on = alive & (emi.sum(axis=1) > 0) & (
+                (bounce == 0) | prev_spec)
+            radiance[emit_on] += throughput[emit_on] * emi[emit_on]
+
+            # NEE (camera_nee fix: bounce-0 NEE allowed)
+            vdir = -d
+            tol = lpos[None] - p
+            dist = np.maximum(np.linalg.norm(tol, axis=1), 1e-6)
+            l = tol / dist[:, None]
+            att = (lrange / (lrange + dist)) ** 2
+            # shadow ray (offset + t bound like nee.py:138-147)
+            off = np.where(_dot(n, l)[:, None] > 0, n, -n) * 1e-4
+            st, _ = _intersect(p + off, l, v0, e1, e2, 1e-4, dist - 1e-3)
+            lit = ~np.isfinite(st)
+            f_cos, pdf_b = _opaque_eval(n, l, vdir, alb, sf0, rgh)
+            mis = 1.0 / (1.0 + pdf_b * pdf_b + 1e-10)  # pdf_nee = 1
+            contrib = _soft_clamp(f_cos * lrad[None] * att[:, None], 500.0)
+            gate = alive & lit
+            radiance[gate] += (throughput * contrib * mis[:, None])[gate]
+
+            # scatter: specular_prob = max Fresnel (path_logic:692-697)
+            ndotv = np.maximum(_dot(n, vdir), 0.0)
+            f_base = _fresnel3(ndotv, sf0)
+            sp_prob = np.max(f_base, axis=1)
+            u = rng.random(len(o))
+            g1, g2 = rng.random(len(o)), rng.random(len(o))
+            pick_spec = u < sp_prob
+            # GGX half vector (sampling.cuh:187-208)
+            a2 = (rgh * rgh) ** 2
+            g2c = np.minimum(g2, 0.9999999)
+            phi = 2 * np.pi * g1
+            ct = np.sqrt((1.0 - g2c) / (1.0 + (a2 - 1.0) * g2c))
+            stn = np.sqrt(np.maximum(0.0, 1.0 - ct * ct))
+            tgt, btg = _onb(n)
+            hvec = (tgt * (stn * np.cos(phi))[:, None]
+                    + btg * (stn * np.sin(phi))[:, None] + n * ct[:, None])
+            spec_dir = d - hvec * (2.0 * _dot(d, hvec))[:, None]
+            # cosine hemisphere (sampling.cuh:141-147)
+            r = np.sqrt(g1)
+            phid = 2 * np.pi * g2
+            diff_dir = (tgt * (r * np.cos(phid))[:, None]
+                        + btg * (r * np.sin(phid))[:, None]
+                        + n * np.sqrt(np.maximum(0.0, 1.0 - g1))[:, None])
+            newd = _norm(np.where(pick_spec[:, None], spec_dir, diff_dir))
+            f_cos_s, pdf_s = _opaque_eval(n, newd, vdir, alb, sf0, rgh)
+            atten = f_cos_s / np.maximum(pdf_s, 1e-6)[:, None]
+            ok = pdf_s > 0.0
+            alive = alive & ok
+            throughput = _soft_clamp(throughput * atten, 50.0)
+            prev_spec = np.zeros(len(o), bool)  # rough lobes: never specular
+            o = p + np.where(_dot(newd, n)[:, None] > 0, n, -n) * 1e-4
+            d = newd
+        acc += _soft_clamp(radiance, 100.0)
+    return (acc / spp).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# shared scene construction (both renderers consume the same arrays)
+# ---------------------------------------------------------------------------
+
+
+def _quad(a, b, c, dd):
+    """Two triangles for quad a-b-c-d."""
+    return np.array([[a, b, c], [a, c, dd]], np.float32)
+
+
+def _cornell_tris():
+    """Cornell-style box, open front (+z): floor/ceiling/back/left/right
+    + a small tall box.  Returns (tris, mesh_sizes) per material group."""
+    fl = _quad([-1, 0, 1], [1, 0, 1], [1, 0, -1], [-1, 0, -1])
+    ce = _quad([-1, 2, -1], [1, 2, -1], [1, 2, 1], [-1, 2, 1])
+    bk = _quad([-1, 0, -1], [1, 0, -1], [1, 2, -1], [-1, 2, -1])
+    lf = _quad([-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1])
+    rt = _quad([1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1])
+    white = np.concatenate([fl, ce, bk])
+    # small box: axis-aligned, 0.5 wide, 0.9 tall at (0.25, *, -0.3)
+    x0, x1, y0, y1, z0, z1 = -0.05, 0.45, 0.0, 0.9, -0.55, -0.05
+    box = np.concatenate([
+        _quad([x0, y1, z1], [x1, y1, z1], [x1, y1, z0], [x0, y1, z0]),
+        _quad([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]),
+        _quad([x1, y0, z1], [x1, y0, z0], [x1, y1, z0], [x1, y1, z1]),
+        _quad([x0, y0, z0], [x0, y0, z1], [x0, y1, z1], [x0, y1, z0]),
+        _quad([x1, y0, z0], [x0, y0, z0], [x0, y1, z0], [x1, y1, z0]),
+    ])
+    return [white, lf, rt, box]
+
+
+_MATS = [
+    dict(albedo=(0.73, 0.73, 0.73)),
+    dict(albedo=(0.65, 0.05, 0.05)),
+    dict(albedo=(0.12, 0.45, 0.15)),
+    dict(albedo=(0.60, 0.55, 0.40)),
+]
+_CAM = dict({"from": (0.0, 1.0, 2.9), "at": (0.0, 1.0, 0.0), "vfov": 42.0})
+_LIGHT = dict(pos=(0.0, 1.85, 0.1), color=(1.0, 0.95, 0.9), intensity=2.5,
+              range=100.0)
+
+
+def _np_scene(groups):
+    tris = np.concatenate(groups)
+    mesh_id = np.concatenate([np.full(len(g), i, np.int32)
+                              for i, g in enumerate(groups)])
+    v0 = tris[:, 0]
+    return dict(
+        v0=v0, e1=tris[:, 1] - v0, e2=tris[:, 2] - v0, mesh_id=mesh_id,
+        albedo=np.array([m["albedo"] for m in _MATS], np.float32),
+        f0=np.full((len(_MATS), 3), 0.04, np.float32),
+        rough=np.ones(len(_MATS), np.float32),
+        emission=np.zeros((len(_MATS), 3), np.float32),
+        light_pos=_LIGHT["pos"],
+        light_radiance=np.asarray(_LIGHT["color"], np.float32)
+        * _LIGHT["intensity"],
+        light_range=_LIGHT["range"],
+    )
+
+
+def _engine_scene(groups, w, h, spp, depth):
+    sc = Scene(w, h)
+    for g, m in zip(groups, _MATS):
+        sc.add_triangles(g, Material(albedo=m["albedo"], roughness=1.0,
+                                     specular=(0.04, 0.04, 0.04)))
+    sc.add_point_light(_LIGHT["pos"], _LIGHT["color"], _LIGHT["intensity"],
+                       range=_LIGHT["range"], radius=0.0)
+    sc.set_sky_enabled(False)
+    sc.set_camera(_CAM["from"], _CAM["at"], fov=_CAM["vfov"])
+    sc.perf.samples_per_pixel = spp
+    sc.perf.max_bounce_depth = depth
+    sc.perf.resolution_scale = 1.0
+    sc.perf.enable_denoiser = False
+    return sc
+
+
+def _engine_hdr(sc, spp, depth, frames):
+    """Average `frames` independent linear-HDR traces (RR off)."""
+    sc._ensure_device_state()
+    rh, rw = sc.render_size
+    fn = _trace_split(rw, rh, spp, depth, len(sc.lights), sc._use_brute(),
+                      sc._sky().has_env_sampling, False, False, 2, True)
+    acc = None
+    for k in range(frames):
+        state, bufs = fn(sc._geom, sc._mat_table, sc._light_table, sc._sky(),
+                         sc.camera, sc._rng_state, jnp.int32(k),
+                         sc._blue_noise)
+        sc._rng_state = state
+        c = np.stack([np.asarray(bufs.color.x), np.asarray(bufs.color.y),
+                      np.asarray(bufs.color.z)], axis=-1)
+        acc = c if acc is None else acc + c
+    return acc / frames
+
+
+def _psnr(a, b):
+    peak = max(float(a.max()), 1e-6)
+    mse = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(peak * peak / max(mse, 1e-20))
+
+
+# ---------------------------------------------------------------------------
+
+
+class TestCrossReference:
+    def test_point_light_direct_analytic(self):
+        """Depth-1 direct lighting vs the closed-form image: no Monte Carlo
+        on either side beyond sub-pixel jitter."""
+        w, h, spp = 48, 36, 8
+        groups = [_cornell_tris()[0][:2]]  # floor quad only
+        mats = [_MATS[0]]
+        sc = Scene(w, h)
+        sc.add_triangles(groups[0], Material(albedo=mats[0]["albedo"],
+                                             roughness=1.0,
+                                             specular=(0.04, 0.04, 0.04)))
+        sc.add_point_light(_LIGHT["pos"], _LIGHT["color"], _LIGHT["intensity"],
+                           range=_LIGHT["range"], radius=0.0)
+        sc.set_sky_enabled(False)
+        sc.set_camera((0.0, 1.4, 2.9), (0.0, 0.0, 0.0), fov=_CAM["vfov"])
+        sc.perf.samples_per_pixel = spp
+        sc.perf.max_bounce_depth = 1
+        sc.perf.resolution_scale = 1.0
+        sc.perf.enable_denoiser = False
+        img = _engine_hdr(sc, spp, 1, frames=2)
+
+        # analytic: pixel-center ray, exact NEE formula (delta light)
+        scene = _np_scene(groups)
+        cam = dict({"from": (0.0, 1.4, 2.9), "at": (0.0, 0.0, 0.0),
+                    "vfov": _CAM["vfov"]})
+        o, d = _camera_rays(cam, w, h, np.zeros((h, w)), np.zeros((h, w)))
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        t, ti = _intersect(o, d, scene["v0"], scene["e1"], scene["e2"],
+                           1e-4, np.full(len(o), 1e30))
+        hitm = np.isfinite(t)
+        t = np.where(hitm, t, 0.0)
+        p = o + d * t[:, None]
+        ng = _norm(np.cross(scene["e1"][ti], scene["e2"][ti]))
+        front = _dot(d, ng) < 0.0
+        n = np.where(front[:, None], ng, -ng)
+        lpos = np.asarray(_LIGHT["pos"], np.float32)
+        tol = lpos[None] - p
+        dist = np.linalg.norm(tol, axis=1)
+        l = tol / dist[:, None]
+        att = (_LIGHT["range"] / (_LIGHT["range"] + dist)) ** 2
+        f_cos, pdf_b = _opaque_eval(n, l, -d, scene["albedo"][[0] * len(o)],
+                                    scene["f0"][[0] * len(o)],
+                                    scene["rough"][[0] * len(o)])
+        mis = 1.0 / (1.0 + pdf_b * pdf_b + 1e-10)
+        lrad = np.asarray(_LIGHT["color"], np.float32) * _LIGHT["intensity"]
+        ana = f_cos * lrad[None] * att[:, None] * mis[:, None]
+        ana[~hitm] = 0.0
+        ana = ana.reshape(h, w, 3)
+
+        # compare on hit pixels whose whole pixel footprint is floor
+        hitmask = hitm.reshape(h, w)
+        core = hitmask & np.roll(hitmask, 1, 0) & np.roll(hitmask, -1, 0)
+        rel = np.abs(img - ana).sum(-1) / np.maximum(ana.sum(-1), 1e-4)
+        assert float(np.median(rel[core])) < 0.02, float(
+            np.median(rel[core]))
+        assert _psnr(ana, np.where(core[..., None], img, ana)) > 38.0
+
+    @pytest.mark.slow  # ~2.5 min: 384-sample renders on both sides
+    def test_numpy_tracer_agrees_gi(self):
+        """Depth-3 GI: engine vs the independent numpy tracer."""
+        w, h = 40, 30
+        depth = 3
+        groups = _cornell_tris()
+        sc = _engine_scene(groups, w, h, 16, depth)
+        img_engine = _engine_hdr(sc, 16, depth, frames=24)  # 384 samples
+
+        scene = _np_scene(groups)
+        rng = np.random.default_rng(7)
+        img_np = _np_trace(scene, _CAM, w, h, 384, depth, rng)
+
+        psnr = _psnr(img_np, img_engine)
+        # independent MC estimators, 384 samples each: agreement is bounded
+        # by noise (~sqrt(2)*sigma/sqrt(N)); a pdf/cosine/MIS bug costs
+        # 10-30% energy and craters this number
+        assert psnr > 28.0, f"cross-implementation PSNR {psnr:.1f} dB"
+        # and the mean image energy must agree closely (bias check)
+        e1 = float(img_engine.mean())
+        e2 = float(img_np.mean())
+        assert abs(e1 - e2) / max(e2, 1e-9) < 0.03, (e1, e2)
