@@ -166,6 +166,25 @@ def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     init_done.set()
+
+    # Second watchdog: backend init can succeed while the REMOTE COMPILE
+    # service is dead (observed round 5: execution of cached programs
+    # worked, every fresh compile blocked forever).  If no measurement
+    # completes within the budget, emit an honest error line.
+    run_done = threading.Event()
+    budget = int(os.environ.get("PTRT_BENCH_TOTAL_TIMEOUT", 3000))
+
+    def _run_watchdog():
+        if not run_done.wait(budget):
+            print(json.dumps({
+                "metric": "Mrays/s (BENCH FAILED: no measurement within "
+                          "%ds — remote compile service down?)" % budget,
+                "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+                "extra": {"error": "compile_or_run_timeout"},
+            }), flush=True)
+            os._exit(4)
+
+    threading.Thread(target=_run_watchdog, daemon=True).start()
     # Default: the BASELINE interactive config at reference scale — 1080p,
     # 4 spp, depth 4 on the ~1M-triangle showcase stand-in.  Compile through
     # the dev tunnel can take minutes cold (the persistent cache makes
@@ -217,6 +236,7 @@ def main() -> None:
             }), flush=True)
             return
 
+    run_done.set()  # measurement landed; phase probes may still take time
     phases = None
     if int(os.environ.get("PTRT_BENCH_PHASES", 1)):
         try:
