@@ -74,8 +74,14 @@ def _entry_key(config_key, args) -> str:
     leaves, treedef = jax.tree_util.tree_flatten(args)
     avals = tuple(_leaf_aval(a) for a in leaves)
     platform = jax.devices()[0].platform
+    # every PTRT_* env knob can change the TRACED program (ladder shapes,
+    # packet gates, unroll mode, ...) without touching the config key or
+    # the source tree — they must partition the disk entries
+    knobs = tuple(sorted((k, v) for k, v in os.environ.items()
+                         if k.startswith("PTRT_")
+                         and k not in ("PTRT_AOT", "PTRT_AOT_CACHE")))
     raw = repr((config_key, str(treedef), avals, jax.__version__, platform,
-                _source_fingerprint()))
+                knobs, _source_fingerprint()))
     return hashlib.sha256(raw.encode()).hexdigest()
 
 
