@@ -631,6 +631,15 @@ class Scene:
         progressive = self._progressive_on()
         if progressive:
             self._sync_accum(rh, rw)
+        if denoise and (self._denoiser_state is None
+                        or self._denoiser_state.depth.shape != (rh, rw)):
+            # the post program consumes the state directly (no in-program
+            # init branch); a None/stale-shaped state would crash a custom
+            # chunked-spp + denoiser config (presets keep the denoiser off
+            # at chunked spp, so only custom settings could hit this)
+            from ptrt_tpu.render.denoiser import init_denoiser_state
+
+            self._denoiser_state = init_denoiser_state(rh, rw)
         post = _post_program(rw, rh, self.width, self.height, denoise,
                              bool(self.perf.enable_bloom),
                              bool(self.perf.enable_motion_vectors),

@@ -27,6 +27,14 @@ def _flatten_state(scene) -> dict:
         for i, leaf in enumerate(leaves):
             out[f"den_{i}"] = np.asarray(leaf)
         out["den_count"] = np.asarray(len(leaves))
+    if getattr(scene, "_accum_state", None) is not None:
+        # progressive accumulation (round-5): radiance sum + frame count
+        leaves, _ = jax.tree_util.tree_flatten(scene._accum_state)
+        for i, leaf in enumerate(leaves):
+            out[f"acc_{i}"] = np.asarray(leaf)
+        out["acc_count"] = np.asarray(len(leaves))
+        if scene._accum_cam_sig is not None:
+            out["acc_cam_sig"] = np.asarray(scene._accum_cam_sig)
     return out
 
 
@@ -56,3 +64,13 @@ def load_render_state(scene, path: str) -> None:
         new_leaves = [jnp.asarray(data[f"den_{i}"]) for i in range(n)]
         scene._denoiser_state = jax.tree_util.tree_unflatten(
             treedef, new_leaves)
+    if "acc_count" in data:
+        from ptrt_tpu.scene.pt_scene import _accum_init
+
+        n = int(data["acc_count"])
+        rh, rw = scene.render_size
+        _, treedef = jax.tree_util.tree_flatten(_accum_init(rh, rw))
+        scene._accum_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(data[f"acc_{i}"]) for i in range(n)])
+        if "acc_cam_sig" in data:
+            scene._accum_cam_sig = np.asarray(data["acc_cam_sig"])
