@@ -135,6 +135,13 @@ def _onb(n):
     return t, bt
 
 
+def _schlick_dielectric(c, ior_i, ior_t):
+    """``pbr_utils.cuh:127-138``."""
+    r0 = ((ior_i - ior_t) / (ior_i + ior_t)) ** 2
+    f = 1.0 - np.clip(c, 0.0, 1.0)
+    return r0 + (1.0 - r0) * (f * f) * (f * f) * f
+
+
 def _opaque_eval(n, l, v, albedo, f0, rough):
     """``evaluateBSDF`` opaque branch (``path_logic.cuh:157-250``): returns
     f * NdotL and the scatter pdf of ``l`` (``pdf.cuh:208-217``)."""
@@ -162,6 +169,126 @@ def _opaque_eval(n, l, v, albedo, f0, rough):
     return f_cos, pdf
 
 
+def _trans_eval(n, l, v, front, albedo, f0, rough, trans_rough, ior):
+    """``evaluateBSDF`` transmissive branch (``path_logic.cuh:157-250``,
+    NdotL>0 reflection side / NdotL<0 BTDF side) + the trans scatter pdf
+    of ``l`` (``pdf.cuh:176-206``); metal = 0, clearcoat = 0."""
+    ndotv = np.maximum(_dot(n, v), 0.0)
+    ndotl_s = _dot(n, l)
+    ndotl = np.maximum(ndotl_s, 0.0)
+    ndotl_abs = np.abs(ndotl_s)
+    eta = np.where(front, 1.0 / ior, ior)
+
+    # reflection side
+    h_r = _norm(l + v)
+    ndoth_r = np.maximum(_dot(n, h_r), 0.0)
+    vdoth_r = np.maximum(_dot(v, h_r), 0.0)
+    d_r = _ggx_d(ndoth_r, rough)
+    g_r = _smith_g1(ndotl, rough) * _smith_g1(ndotv, rough)
+    f_r = _fresnel3(vdoth_r, f0)
+    refl = f_r * (d_r * g_r / (4.0 * ndotv * ndotl + 1e-6))[:, None] \
+        * ndotl[:, None]
+
+    # refraction side (path_logic.cuh:87-100 analog in bsdf.py)
+    h_t = _norm(-(v * eta[:, None] + l))
+    flip = _dot(n, h_t) < 0.0
+    h_t = np.where(flip[:, None], -h_t, h_t)
+    vdoth_t = np.maximum(_dot(v, h_t), 0.0)
+    ldoth_t = np.abs(_dot(l, h_t))
+    k = 1.0 - eta * eta * (1.0 - vdoth_t * vdoth_t)
+    d_t = _ggx_d(np.maximum(_dot(n, h_t), 0.0), trans_rough)
+    g_t = _smith_g1(ndotl_abs, trans_rough) * _smith_g1(ndotv, trans_rough)
+    f_t3 = 1.0 - _fresnel3(vdoth_t, f0)
+    numer = eta * eta * g_t * d_t * vdoth_t * ldoth_t
+    denom = ndotv * ndotl_abs * (eta * vdoth_t + ldoth_t) ** 2
+    btdf = albedo * f_t3 * (numer / (denom + 1e-6))[:, None] \
+        * ndotl_abs[:, None]
+    btdf = np.where((k >= 0.0)[:, None], btdf, 0.0)
+
+    f_cos = np.where((ndotl_s > 0.0)[:, None], refl, btdf)
+    f_cos = np.where((ndotv <= 0.0)[:, None], 0.0, f_cos)
+
+    # pdf (pdf.cuh:176-206): prob_base = 1 (no coat); material_pdf picks
+    # schlick_dielectric_one_ior(ndotv, ior_ratio), ior_ratio = front ?
+    # 1/ior : ior
+    ior_ratio = np.where(front, 1.0 / ior, ior)
+    reflect_prob = _schlick_dielectric(ndotv, np.ones_like(ior), ior_ratio)
+    pdf_reflect = d_r * ndoth_r / (4.0 * vdoth_r + 1e-6)
+    h_pl = _norm(v + l)
+    vdoth_pl = np.maximum(_dot(v, h_pl), 0.0)
+    k_pl = 1.0 - ior_ratio * ior_ratio * (1.0 - vdoth_pl * vdoth_pl)
+    d_tir = _ggx_d(np.maximum(_dot(n, h_pl), 0.0), trans_rough)
+    pdf_tir = d_tir * np.maximum(_dot(n, h_pl), 0.0) / (4.0 * vdoth_pl
+                                                        + 1e-6)
+    pos = reflect_prob * pdf_reflect + np.where(
+        k_pl < 0.0, (1.0 - reflect_prob) * pdf_tir, 0.0)
+    # pdf_ggx_refract (pdf.cuh:97-123)
+    dwh_dwo = (ior_ratio * ior_ratio * ldoth_t) / (
+        (ior_ratio * vdoth_t + ldoth_t) ** 2 + 1e-12)
+    pdf_refract = d_t * np.maximum(_dot(n, h_t), 0.0) * np.abs(dwh_dwo)
+    pdf_refract = np.where((ndotv <= 0.0) | (ndotl_s >= 0.0), 0.0,
+                           pdf_refract)
+    neg = (1.0 - reflect_prob) * pdf_refract
+    pdf = np.where(ndotl_s > 0.0, pos, neg)
+    pdf = np.where(ndotv == 0.0, 0.0, pdf)
+    return f_cos, pdf
+
+
+def _trans_scatter_eval(n, l, v, eta, albedo, f0, rough, trgh, refl_prob,
+                        sampled_refract):
+    """Transmissive-case f/pdf accumulation of ``material_scatter``
+    (``path_logic.cuh:621-685``; clearcoat 0, metal 0): base reflection +
+    BTDF + the refract-sampled-as-reflection (TIR) term."""
+    ndotv = np.maximum(_dot(n, v), 0.0)
+    ndotl_s = _dot(n, l)
+    ndotl = np.maximum(ndotl_s, 0.0)
+    ndotl_abs = np.abs(ndotl_s)
+    p_tr = refl_prob
+    p_trr = 1.0 - refl_prob
+
+    h_refl = _norm(v + l)
+    ndoth_refl = np.maximum(_dot(n, h_refl), 0.0)
+    vdoth_refl = np.maximum(_dot(v, h_refl), 0.0)
+    d_refl = _ggx_d(ndoth_refl, rough)
+    g_refl = _smith_g1(ndotl, rough) * _smith_g1(ndotv, rough)
+    f_refl = _fresnel3(vdoth_refl, f0)
+    pdf_refl = d_refl * ndoth_refl / (4.0 * vdoth_refl + 1e-6)
+    refl_on = (p_tr > 0.0) & (ndotl_s > 0.0)
+    pdf = np.where(refl_on, p_tr * pdf_refl, 0.0)
+    f = np.where(refl_on[:, None], f_refl * (
+        d_refl * g_refl / (4.0 * ndotv * ndotl + 1e-6) * ndotl)[:, None],
+        0.0)
+
+    h_rf = _norm(-(v * eta[:, None] + l))
+    h_rf = np.where((_dot(n, h_rf) < 0.0)[:, None], -h_rf, h_rf)
+    vdoth_rf = np.maximum(_dot(v, h_rf), 0.0)
+    ldoth_rf = np.abs(_dot(l, h_rf))
+    ndoth_rf = np.maximum(_dot(n, h_rf), 0.0)
+    k_rf = 1.0 - eta * eta * (1.0 - vdoth_rf * vdoth_rf)
+    d_rf = _ggx_d(ndoth_rf, trgh)
+    g_rf = _smith_g1(ndotl_abs, trgh) * _smith_g1(ndotv, trgh)
+    dwh = (eta * eta * ldoth_rf) / ((eta * vdoth_rf + ldoth_rf) ** 2
+                                    + 1e-12)
+    pdf_rf = d_rf * ndoth_rf * np.abs(dwh)
+    refr_on = (p_trr > 0.0) & (ndotl_s < 0.0) & (k_rf >= 0.0)
+    pdf = pdf + np.where(refr_on, p_trr * pdf_rf, 0.0)
+    fr3 = 1.0 - _fresnel3(vdoth_rf, f0)
+    numer = eta * eta * g_rf * d_rf * vdoth_rf * ldoth_rf
+    denom = ndotv * ndotl_abs * (eta * vdoth_rf + ldoth_rf) ** 2
+    f = f + np.where(refr_on[:, None],
+                     albedo * fr3 * (numer / (denom + 1e-6)
+                                     * ndotl_abs)[:, None], 0.0)
+
+    d_tirr = _ggx_d(ndoth_refl, trgh)
+    g_tirr = _smith_g1(ndotl, trgh) * _smith_g1(ndotv, trgh)
+    pdf_tirr = d_tirr * ndoth_refl / (4.0 * vdoth_refl + 1e-6)
+    tir_on = sampled_refract & (ndotl_s > 0.0)
+    pdf = pdf + np.where(tir_on, p_trr * pdf_tirr, 0.0)
+    f = f + np.where(tir_on[:, None], (d_tirr * g_tirr / (
+        4.0 * ndotv * ndotl + 1e-6) * ndotl)[:, None], 0.0)
+    return f, pdf
+
+
 def _np_trace(scene, cam_desc, w, h, spp, depth, rng):
     """Independent wavefront path tracer in numpy.  Mirrors the reference
     semantics (one-sample NEE + power-2 MIS ``path_logic.cuh:840-857``,
@@ -187,6 +314,7 @@ def _np_trace(scene, cam_desc, w, h, spp, depth, rng):
         radiance = np.zeros((h * w, 3), np.float32)
         alive = np.ones(h * w, bool)
         prev_spec = np.ones(h * w, bool)  # camera "specular" flag semantics
+        ray_spec = np.zeros(h * w, bool)  # camera_nee fix: bounce-0 NEE on
         for bounce in range(depth):
             t, ti = _intersect(o, d, v0, e1, e2, 1e-4,
                                np.full(len(o), 1e30))
@@ -201,6 +329,18 @@ def _np_trace(scene, cam_desc, w, h, spp, depth, rng):
             m = mesh_id[ti]
             alb, sf0, rgh = albedo[m], f0[m], rough[m]
             emi = emission[m]
+            tr = scene["trans"][m]
+            trgh = np.maximum(scene["trans_rough"][m], rgh)
+            ior = scene["ior"][m]
+            is_tr = tr > 0.0
+
+            # interior Beer-Lambert (path_logic:823-829): back-face hits
+            # absorb exp(-(-log(albedo))*t) = albedo^t per channel
+            t_unit = np.maximum(alb, 1e-6)
+            absorb = np.exp(np.log(t_unit) * t[:, None])
+            inside = alive & ~front
+            throughput = np.where(inside[:, None], throughput * absorb,
+                                  throughput)
 
             # emission only on primary / after-specular (path_logic:831-836)
             emit_on = alive & (emi.sum(axis=1) > 0) & (
@@ -233,26 +373,46 @@ def _np_trace(scene, cam_desc, w, h, spp, depth, rng):
                     dist * dist / (max(lw * lh, 1e-12)
                                    * np.maximum(cos_emit, 1e-6)), 0.0)
             att = (lrange / (lrange + dist)) ** 2
-            # shadow ray (offset + t bound like nee.py:138-147)
+            # shadow ray (offset + t bound like nee.py:138-147); the
+            # engine's shadow walk skips TRANSMISSIVE occluders
+            # (shadow_opaque flag) — mirror with the opaque triangle set
+            # opaque = transmission <= 0.5 (scene_geom.py:205-211)
+            ok_occ = scene["trans"][mesh_id] <= 0.5
             off = np.where(_dot(n, l)[:, None] > 0, n, -n) * 1e-4
-            st, _ = _intersect(p + off, l, v0, e1, e2, 1e-4, dist - 1e-3)
+            st, _ = _intersect(p + off, l, v0[ok_occ], e1[ok_occ],
+                               e2[ok_occ], 1e-4, dist - 1e-3)
             lit = ~np.isfinite(st) & (pdf_nee > 0.0)
-            f_cos, pdf_b = _opaque_eval(n, l, vdir, alb, sf0, rgh)
+            f_o, pdf_o = _opaque_eval(n, l, vdir, alb, sf0, rgh)
+            f_g, pdf_g = _trans_eval(n, l, vdir, front, alb, sf0, rgh,
+                                     trgh, ior)
+            f_cos = np.where(is_tr[:, None], f_g, f_o)
+            pdf_b = np.where(is_tr, pdf_g, pdf_o)
             mis = pdf_nee ** 2 / (pdf_nee ** 2 + pdf_b * pdf_b + 1e-10)
             scale = att / np.maximum(pdf_nee, 1e-12)
             contrib = _soft_clamp(f_cos * lrad[None] * scale[:, None], 500.0)
-            gate = alive & lit
+            # engine gates NEE on the incoming ray's specular flag
+            gate = alive & lit & ~ray_spec
             radiance[gate] += (throughput * contrib * mis[:, None])[gate]
 
-            # scatter: specular_prob = max Fresnel (path_logic:692-697)
+            # scatter (material_scatter, path_logic:490-780; coat 0):
+            # lobes 1 reflect / 2 refract / 3 diffuse, one shared (u, g1,
+            # g2) draw per lane like the engine's branchless kernel
             ndotv = np.maximum(_dot(n, vdir), 0.0)
             f_base = _fresnel3(ndotv, sf0)
             sp_prob = np.max(f_base, axis=1)
+            eta = np.where(front, 1.0 / ior, ior)
+            ior_i = np.where(front, 1.0, ior)
+            ior_t = np.where(front, ior, 1.0)
+            refl_prob = _schlick_dielectric(ndotv, ior_i, ior_t)
             u = rng.random(len(o))
             g1, g2 = rng.random(len(o)), rng.random(len(o))
-            pick_spec = u < sp_prob
-            # GGX half vector (sampling.cuh:187-208)
-            a2 = (rgh * rgh) ** 2
+            lobe = np.where(is_tr,
+                            np.where(u < refl_prob, 1, 2),
+                            np.where(u < sp_prob, 1, 3))
+            # GGX half vector at the selected lobe's roughness
+            # (sampling.cuh:187-208)
+            s_rough = np.where(lobe == 2, trgh, rgh)
+            a2 = (s_rough * s_rough) ** 2
             g2c = np.minimum(g2, 0.9999999)
             phi = 2 * np.pi * g1
             ct = np.sqrt((1.0 - g2c) / (1.0 + (a2 - 1.0) * g2c))
@@ -261,19 +421,42 @@ def _np_trace(scene, cam_desc, w, h, spp, depth, rng):
             hvec = (tgt * (stn * np.cos(phi))[:, None]
                     + btg * (stn * np.sin(phi))[:, None] + n * ct[:, None])
             spec_dir = d - hvec * (2.0 * _dot(d, hvec))[:, None]
+            # refraction with H-flip + TIR (path_logic:563-586)
+            h_refr = np.where((_dot(vdir, hvec) < 0.0)[:, None], -hvec,
+                              hvec)
+            vdoth_tir = np.abs(_dot(vdir, h_refr))
+            k_tir = 1.0 - eta * eta * (1.0 - vdoth_tir * vdoth_tir)
+            tir = k_tir < 0.0
+            cos_t = np.sqrt(np.maximum(k_tir, 0.0))
+            refr_dir = _norm(-vdir * eta[:, None]
+                             + h_refr * (eta * vdoth_tir - cos_t)[:, None])
+            tir_dir = d - h_refr * (2.0 * _dot(d, h_refr))[:, None]
+            refract_dir = np.where(tir[:, None], tir_dir, refr_dir)
             # cosine hemisphere (sampling.cuh:141-147)
             r = np.sqrt(g1)
             phid = 2 * np.pi * g2
             diff_dir = (tgt * (r * np.cos(phid))[:, None]
                         + btg * (r * np.sin(phid))[:, None]
                         + n * np.sqrt(np.maximum(0.0, 1.0 - g1))[:, None])
-            newd = _norm(np.where(pick_spec[:, None], spec_dir, diff_dir))
-            f_cos_s, pdf_s = _opaque_eval(n, newd, vdir, alb, sf0, rgh)
+            newd = _norm(np.where((lobe == 3)[:, None], diff_dir,
+                                  np.where((lobe == 2)[:, None],
+                                           refract_dir, spec_dir)))
+            is_spec_lane = np.where(
+                lobe == 1, rgh < 0.1,
+                np.where(lobe == 2, tir | (trgh < 0.1), False))
+
+            f_o, pdf_o2 = _opaque_eval(n, newd, vdir, alb, sf0, rgh)
+            f_g, pdf_g2 = _trans_scatter_eval(n, newd, vdir, eta, alb, sf0,
+                                              rgh, trgh, refl_prob,
+                                              lobe == 2)
+            f_cos_s = np.where(is_tr[:, None], f_g, f_o)
+            pdf_s = np.where(is_tr, pdf_g2, pdf_o2)
             atten = f_cos_s / np.maximum(pdf_s, 1e-6)[:, None]
             ok = pdf_s > 0.0
             alive = alive & ok
             throughput = _soft_clamp(throughput * atten, 50.0)
-            prev_spec = np.zeros(len(o), bool)  # rough lobes: never specular
+            prev_spec = np.where(alive, is_spec_lane, prev_spec)
+            ray_spec = np.where(alive, is_spec_lane, ray_spec)
             o = p + np.where(_dot(newd, n)[:, None] > 0, n, -n) * 1e-4
             d = newd
         acc += _soft_clamp(radiance, 100.0)
@@ -326,18 +509,25 @@ _AREA = dict(pos=(0.0, 1.95, 0.0), dir=(0.0, -1.0, 0.0), w=0.7, h=0.5,
              color=(1.0, 0.95, 0.9), intensity=3.0, range=100.0)
 
 
-def _np_scene(groups, area=False):
+def _np_scene(groups, area=False, mats=None):
+    mats = _MATS if mats is None else mats
     tris = np.concatenate(groups)
     mesh_id = np.concatenate([np.full(len(g), i, np.int32)
                               for i, g in enumerate(groups)])
     v0 = tris[:, 0]
     light = _AREA if area else _LIGHT
+    rough = np.maximum(  # MIN_ROUGH clamp (path_logic.cuh:167)
+        np.array([m.get("rough", 1.0) for m in mats], np.float32), 0.02)
     return dict(
         v0=v0, e1=tris[:, 1] - v0, e2=tris[:, 2] - v0, mesh_id=mesh_id,
-        albedo=np.array([m["albedo"] for m in _MATS], np.float32),
-        f0=np.full((len(_MATS), 3), 0.04, np.float32),
-        rough=np.ones(len(_MATS), np.float32),
-        emission=np.zeros((len(_MATS), 3), np.float32),
+        albedo=np.array([m["albedo"] for m in mats], np.float32),
+        f0=np.full((len(mats), 3), 0.04, np.float32),
+        rough=rough,
+        emission=np.zeros((len(mats), 3), np.float32),
+        trans=np.array([m.get("trans", 0.0) for m in mats], np.float32),
+        trans_rough=np.array([m.get("trans_rough", 0.0) for m in mats],
+                             np.float32),
+        ior=np.array([m.get("ior", 1.5) for m in mats], np.float32),
         light_pos=light["pos"],
         light_radiance=np.asarray(light["color"], np.float32)
         * light["intensity"],
@@ -348,11 +538,16 @@ def _np_scene(groups, area=False):
     )
 
 
-def _engine_scene(groups, w, h, spp, depth, area=False):
+def _engine_scene(groups, w, h, spp, depth, area=False, mats=None):
+    mats = _MATS if mats is None else mats
     sc = Scene(w, h)
-    for g, m in zip(groups, _MATS):
-        sc.add_triangles(g, Material(albedo=m["albedo"], roughness=1.0,
-                                     specular=(0.04, 0.04, 0.04)))
+    for g, m in zip(groups, mats):
+        sc.add_triangles(g, Material(
+            albedo=m["albedo"], roughness=m.get("rough", 1.0),
+            specular=(0.04, 0.04, 0.04),
+            transmission=m.get("trans", 0.0),
+            transmission_roughness=m.get("trans_rough", 0.0),
+            ior=m.get("ior", 1.5)))
     if area:
         sc.add_area_light(_AREA["pos"], _AREA["dir"], _AREA["w"], _AREA["h"],
                           _AREA["color"], _AREA["intensity"])
@@ -475,6 +670,38 @@ class TestCrossReference:
         e1 = float(img_engine.mean())
         e2 = float(img_np.mean())
         assert abs(e1 - e2) / max(e2, 1e-9) < 0.03, (e1, e2)
+
+    @pytest.mark.slow  # ~3 min: 384-sample renders on both sides
+    def test_numpy_tracer_agrees_glass(self):
+        """Transmissive branch: a glass sphere (GGX refraction, TIR,
+        Schlick dielectric lobe selection, Beer-Lambert interior
+        absorption) inside the Cornell box — the full trans-case f/pdf
+        accumulation of ``material_scatter`` mirrored independently.
+        Glass is where radiometry bugs hide (wrong eta, missing
+        |NdotL|, bad half-vector flip all shift energy 10%+)."""
+        from ptrt_tpu.geometry.mesh import Mesh
+
+        w, h = 36, 27
+        depth = 5
+        sph = Mesh.sphere(10, radius=0.45)
+        sph.transform.set_position(-0.25, 0.55, 0.15)
+        va, vb, vc = sph.triangle_arrays(world=True)
+        sphere_tris = np.stack([va, vb, vc], axis=1).astype(np.float32)
+        groups = _cornell_tris()[:3] + [sphere_tris]
+        mats = _MATS[:3] + [dict(albedo=(0.9, 0.95, 0.98), rough=0.05,
+                                 trans=1.0, ior=1.5)]
+
+        sc = _engine_scene(groups, w, h, 16, depth, mats=mats)
+        img_engine = _engine_hdr(sc, 16, depth, frames=24)
+
+        scene = _np_scene(groups, mats=mats)
+        img_np = _np_trace(scene, _CAM, w, h, 384, depth,
+                           np.random.default_rng(3))
+        psnr = _psnr(img_np, img_engine)
+        assert psnr > 25.0, f"glass cross PSNR {psnr:.1f} dB"
+        e1 = float(img_engine.mean())
+        e2 = float(img_np.mean())
+        assert abs(e1 - e2) / max(e2, 1e-9) < 0.05, (e1, e2)
 
     @pytest.mark.slow  # ~2 min: 384-sample renders on both sides
     def test_numpy_tracer_agrees_area_light(self):
